@@ -1,0 +1,8 @@
+"""Models registry (mirrors gaustudio/models/__init__.py)."""
+
+from gaustudio_tpu.registry import Registry
+
+_registry = Registry("models")
+register = _registry.register
+make = _registry.make
+keys = _registry.keys

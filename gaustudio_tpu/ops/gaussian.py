@@ -1,0 +1,284 @@
+"""Per-Gaussian projection math (the rasterizer "preprocess" stage).
+
+TPU-native re-design of `preprocessCUDA` and helpers
+(cuda_rasterizer/forward.cu:74-256, auxiliary.h:40-164): frustum culling,
+3D covariance from scale/quaternion, EWA 2D covariance projection, conic
+inversion, screen-space radius and tile-rect computation.
+
+Everything here is written batched over the leading N axis in plain jnp —
+this stage is embarrassingly parallel and XLA fuses it into a handful of
+elementwise kernels; no Pallas needed.  All matrices follow the reference's
+convention: ``viewmatrix`` / ``projmatrix`` are the *transposed* W2V /
+W2V@P matrices (row-vector convention, ``p_view = (p,1) @ viewmatrix``),
+exactly as produced by the reference Camera
+(gaustudio/datasets/__init__.py:154-159).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaustudio_tpu.ops import sh as sh_ops
+
+# Tile size of the binning grid. The CUDA reference uses 16x16
+# (cuda_rasterizer/config.h:16-17); we keep 16x16 so a tile's 256 pixels map
+# onto two native (8,128) f32 VPU tiles.
+TILE_X = 16
+TILE_Y = 16
+TILE_PIXELS = TILE_X * TILE_Y
+
+# Frustum near-cull threshold (auxiliary.h:156).
+NEAR_CULL_Z = 0.2
+
+
+def quat_to_rotmat(q, normalize: bool = True):
+    """Quaternion (w,x,y,z) -> rotation matrix [..., 3, 3].
+
+    Matches gaustudio/models/utils.py:44-65 `build_rotation` (which
+    normalizes) and CUDA computeCov3D (forward.cu:127: NOT normalized — the
+    renderers pre-normalize via the model's "normalize" activation, so both
+    paths agree in practice).
+    """
+    if normalize:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack(
+        [1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y)], -1
+    )
+    row1 = jnp.stack(
+        [2.0 * (x * y + r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z - r * x)], -1
+    )
+    row2 = jnp.stack(
+        [2.0 * (x * z - r * y), 2.0 * (y * z + r * x), 1.0 - 2.0 * (x * x + y * y)], -1
+    )
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def build_cov3d(scale, scale_modifier, quat, normalize_quat: bool = False):
+    """3D covariance Σ = R S² Rᵀ as the 6 upper-triangular entries.
+
+    Port of CUDA computeCov3D (forward.cu:118-152).  Output order
+    (xx, xy, xz, yy, yz, zz) matches cov3D[0..5] and the torch-side
+    build_covariance_from_scaling_rotation (gaustudio/models/utils.py:93-97).
+    ``normalize_quat`` defaults to False to mirror the kernel's quirk
+    (forward.cu:127 — normalization is commented out upstream).
+    """
+    R = quat_to_rotmat(quat, normalize=normalize_quat)
+    s = scale_modifier * scale  # [..., 3]
+    M = R * s[..., None, :]  # R @ diag(s)
+    sigma = M @ jnp.swapaxes(M, -1, -2)
+    return jnp.stack(
+        [
+            sigma[..., 0, 0],
+            sigma[..., 0, 1],
+            sigma[..., 0, 2],
+            sigma[..., 1, 1],
+            sigma[..., 1, 2],
+            sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def transform_points(points, mat4):
+    """(p, 1) @ mat4 -> [..., 4]; mat4 is the transposed-matrix convention."""
+    return points @ mat4[:3, :] + mat4[3, :]
+
+
+def compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix):
+    """EWA projection of 3D covariance to screen space.
+
+    Port of computeCov2D (forward.cu:74-113): view-space position clamped to
+    1.3x the fov tangent, Jacobian J of the perspective projection,
+    cov2D = J W Σ Wᵀ Jᵀ + 0.3·I low-pass (the glm column-major arithmetic of
+    the reference reduces exactly to this formula).
+
+    Returns [..., 3]: (c_xx, c_xy, c_yy).
+    """
+    t = transform_points(means3d, viewmatrix)[..., :3]
+    tz = t[..., 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txtz = t[..., 0] / tz
+    tytz = t[..., 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # J rows (2x3): [[fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]]
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+
+    W = viewmatrix[:3, :3]  # rows are world-axis images => W2V rotation transposed
+    # world->view rotation R_wv acts as v = p @ W  =>  R_wv = W^T
+    Rwv = W.T  # [3,3]
+
+    # V = R_wv Σ R_wvᵀ, then cov2d = J V Jᵀ with the 2x3 J above.
+    c = cov3d
+    sigma = jnp.stack(
+        [
+            jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
+            jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
+            jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
+        ],
+        axis=-2,
+    )  # [..., 3, 3]
+    V = jnp.einsum("ij,...jk,lk->...il", Rwv, sigma, Rwv)
+
+    # rows of J per gaussian
+    zero = jnp.zeros_like(j00)
+    Jr0 = jnp.stack([j00, zero, j02], -1)  # [..., 3]
+    Jr1 = jnp.stack([zero, j11, j12], -1)
+
+    vJ0 = jnp.einsum("...ij,...j->...i", V, Jr0)
+    vJ1 = jnp.einsum("...ij,...j->...i", V, Jr1)
+    cxx = jnp.einsum("...i,...i->...", Jr0, vJ0) + 0.3
+    cxy = jnp.einsum("...i,...i->...", Jr0, vJ1)
+    cyy = jnp.einsum("...i,...i->...", Jr1, vJ1) + 0.3
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def ndc2pix(v, size):
+    """auxiliary.h:40-43."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (the CUDA geometry state)."""
+
+    valid: jnp.ndarray  # [N] bool — survives culling and has nonzero extent
+    depths: jnp.ndarray  # [N] view-space z
+    means2d: jnp.ndarray  # [N, 2] pixel coordinates
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    opacities: jnp.ndarray  # [N]
+    colors: jnp.ndarray  # [N, C]
+    radii: jnp.ndarray  # [N] int32 screen radius (0 if culled)
+    rect_min: jnp.ndarray  # [N, 2] int32 tile rect (x, y)
+    rect_max: jnp.ndarray  # [N, 2] int32 tile rect exclusive
+    tiles_touched: jnp.ndarray  # [N] int32
+
+
+def get_rect(means2d, radius, grid_x, grid_y):
+    """Tile bounding rect of a splat; port of getRect (auxiliary.h:46-56)."""
+    px, py = means2d[..., 0], means2d[..., 1]
+    rmin_x = jnp.clip(jnp.floor((px - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(jnp.floor((py - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(
+        jnp.floor((px + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x
+    )
+    rmax_y = jnp.clip(
+        jnp.floor((py + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y
+    )
+    return (
+        jnp.stack([rmin_x, rmin_y], -1),
+        jnp.stack([rmax_x, rmax_y], -1),
+    )
+
+
+def preprocess(
+    means3d,
+    opacities,
+    viewmatrix,
+    projmatrix,
+    campos,
+    image_width: int,
+    image_height: int,
+    tan_fovx,
+    tan_fovy,
+    *,
+    shs=None,
+    sh_degree=3,
+    colors_precomp=None,
+    scales=None,
+    rotations=None,
+    cov3d_precomp=None,
+    scale_modifier=1.0,
+    means2d_offset=None,
+) -> Preprocessed:
+    """Full per-Gaussian preprocess; port of preprocessCUDA (forward.cu:156-256).
+
+    ``means2d_offset`` is the functional substitute for the reference's
+    zero-valued ``screenspace_points`` input (gaustudio/renderers/base.py:13-17):
+    gradients w.r.t. it are the screen-space position gradients that the
+    densification heuristic accumulates.
+    """
+    grid_x = (image_width + TILE_X - 1) // TILE_X
+    grid_y = (image_height + TILE_Y - 1) // TILE_Y
+
+    p_view = transform_points(means3d, viewmatrix)[..., :3]
+    depths = p_view[..., 2]
+    in_front = depths > NEAR_CULL_Z
+
+    p_hom = means3d @ projmatrix[:3, :] + projmatrix[3, :]
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    p_proj = p_hom[..., :3] * p_w[..., None]
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = build_cov3d(scales, scale_modifier, rotations)
+
+    focal_x = image_width / (2.0 * tan_fovx)
+    focal_y = image_height / (2.0 * tan_fovy)
+    cov2d = compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix)
+
+    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    det_ok = det != 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack(
+        [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv, cov2d[..., 0] * det_inv], -1
+    )
+
+    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    lambda2 = mid - disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, lambda2)))
+
+    mean2d = jnp.stack(
+        [ndc2pix(p_proj[..., 0], image_width), ndc2pix(p_proj[..., 1], image_height)], -1
+    )
+    if means2d_offset is not None:
+        mean2d = mean2d + means2d_offset
+
+    rect_min, rect_max = get_rect(mean2d, radius_f, grid_x, grid_y)
+    rect_wh = rect_max - rect_min
+    tiles = rect_wh[..., 0] * rect_wh[..., 1]
+
+    valid = in_front & det_ok & (tiles > 0)
+
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        colors, _clamped = sh_ops.sh_to_rgb_clamped(sh_degree, shs, means3d, campos)
+
+    radii = jnp.where(valid, radius_f.astype(jnp.int32), 0)
+    tiles = jnp.where(valid, tiles, 0)
+
+    return Preprocessed(
+        valid=valid,
+        depths=depths,
+        means2d=mean2d,
+        conic=conic,
+        opacities=jnp.reshape(opacities, opacities.shape[:1]
+                              if opacities.ndim == 1 else (opacities.shape[0],)),
+        colors=colors,
+        radii=radii,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=tiles,
+    )
+
+
+def mark_visible(means3d, viewmatrix, projmatrix=None):
+    """Frustum visibility check; port of checkFrustum / markVisible
+    (rasterizer_impl.cu:54-66, 141-153): view-space z > 0.2."""
+    del projmatrix  # unused, like the reference (only z-cull is active)
+    p_view = transform_points(means3d, viewmatrix)[..., :3]
+    return p_view[..., 2] > NEAR_CULL_Z

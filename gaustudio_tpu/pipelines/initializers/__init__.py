@@ -1,0 +1,8 @@
+"""Initializers registry (mirrors gaustudio/pipelines/initializers/__init__.py)."""
+
+from gaustudio_tpu.registry import Registry
+
+_registry = Registry("initializers")
+register = _registry.register
+make = _registry.make
+keys = _registry.keys

@@ -1,0 +1,8 @@
+"""Optimizers registry (mirrors gaustudio/pipelines/optimizers/__init__.py)."""
+
+from gaustudio_tpu.registry import Registry
+
+_registry = Registry("optimizers")
+register = _registry.register
+make = _registry.make
+keys = _registry.keys

@@ -1,0 +1,8 @@
+"""Renderers registry (mirrors gaustudio/renderers/__init__.py)."""
+
+from gaustudio_tpu.registry import Registry
+
+_registry = Registry("renderers")
+register = _registry.register
+make = _registry.make
+keys = _registry.keys

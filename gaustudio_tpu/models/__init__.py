@@ -6,3 +6,5 @@ _registry = Registry("models")
 register = _registry.register
 make = _registry.make
 keys = _registry.keys
+
+from gaustudio_tpu.models import vanilla, general  # noqa: E402,F401

@@ -6,3 +6,5 @@ _registry = Registry("renderers")
 register = _registry.register
 make = _registry.make
 keys = _registry.keys
+
+from gaustudio_tpu.renderers import vanilla, pcd  # noqa: E402,F401

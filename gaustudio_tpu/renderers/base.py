@@ -1,0 +1,121 @@
+"""BaseRenderer — camera + model -> rendered buffer dict.
+
+Port of gaustudio/renderers/base.py:9-63 on top of the functional JAX
+rasterizer: builds RasterizeSettings from the camera (tanfov, transposed W2V,
+full-proj, campos), tracks a zero ``means2D_offset`` whose gradient carries
+the densification statistics (replacing the reference's retain_grad
+screenspace_points, base.py:13-17), and returns the same output dict.
+
+Intersection-list capacity is auto-probed per (W, H) and bucketed to powers
+of two (the static-shape substitute for the CUDA dynamic buffer resize).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from gaustudio_tpu.ops import rasterize as rast
+from gaustudio_tpu.ops.rasterize import RasterizeSettings
+
+
+class BaseRenderer:
+    default_conf: Dict = {}
+
+    def __init__(self, config=None):
+        self.config = {**self.default_conf, **(config or {})}
+        self._capacity_cache: Dict[Tuple[int, int], int] = {}
+
+    # subclasses provide get_gaussians_properties(camera, model)
+
+    def make_settings(self, camera, gaussian_model, num_entries: int,
+                      sh_degree=None) -> RasterizeSettings:
+        return RasterizeSettings(
+            image_height=int(camera.image_height),
+            image_width=int(camera.image_width),
+            tanfovx=math.tan(camera.FoVx * 0.5),
+            tanfovy=math.tan(camera.FoVy * 0.5),
+            bg=jnp.asarray(self.bg_color, jnp.float32),
+            scale_modifier=self.scaling_modifier,
+            viewmatrix=jnp.asarray(camera.world_view_transform),
+            projmatrix=jnp.asarray(camera.full_proj_transform),
+            sh_degree=(
+                gaussian_model.max_sh_degree
+                if sh_degree is None and hasattr(gaussian_model, "max_sh_degree")
+                else (sh_degree if sh_degree is not None else 3)
+            ),
+            campos=jnp.asarray(camera.camera_center),
+            prefiltered=False,
+            debug=self.config.get("debug", False),
+            num_entries=num_entries,
+            chunk=int(self.config.get("chunk", 1024)),
+        )
+
+    def _capacity(self, camera, xyz, opacity, scales, rotations, cov3d,
+                  settings_probe) -> int:
+        key = (int(camera.image_width), int(camera.image_height))
+        cached = self._capacity_cache.get(key)
+        if cached is not None:
+            return cached
+        cap = rast.suggest_num_entries(
+            xyz, opacity, settings_probe, scales=scales, rotations=rotations,
+            cov3D_precomp=cov3d,
+        )
+        self._capacity_cache[key] = cap
+        return cap
+
+    def render(self, viewpoint_camera, gaussian_model, means2D_offset=None):
+        """Port of renderers/base.py:10-63."""
+        (xyz, shs, colors_precomp, opacity, scales, rotations, cov3D_precomp) = (
+            self.get_gaussians_properties(viewpoint_camera, gaussian_model)
+        )
+
+        probe = self.make_settings(viewpoint_camera, gaussian_model, 4096)
+        cap = self._capacity(
+            viewpoint_camera, xyz, opacity, scales, rotations, cov3D_precomp, probe
+        )
+        settings = probe._replace(num_entries=cap)
+
+        if means2D_offset is None:
+            means2D_offset = jnp.zeros((xyz.shape[0], 2), jnp.float32)
+
+        active_deg = getattr(gaussian_model, "active_sh_degree", None)
+        out = rast.rasterize(
+            xyz,
+            opacity,
+            settings,
+            shs=shs,
+            colors_precomp=colors_precomp,
+            scales=scales,
+            rotations=rotations,
+            cov3D_precomp=cov3D_precomp,
+            means2D_offset=means2D_offset,
+            active_sh_degree=active_deg if shs is not None else None,
+        )
+
+        # grow capacity for future frames if this one overflowed
+        try:
+            rendered = int(out["num_rendered"])
+            if rendered > cap:
+                key = (int(viewpoint_camera.image_width), int(viewpoint_camera.image_height))
+                from gaustudio_tpu.ops.binning import bucket_capacity
+
+                self._capacity_cache[key] = bucket_capacity(int(rendered * 1.25))
+        except Exception:  # traced inside jit: skip host sync
+            pass
+
+        return {
+            "render": out["render"],
+            "rendered_depth": out["rendered_depth"],
+            "rendered_median_depth": out["rendered_median_depth"],
+            "rendered_median_weight": out["rendered_median_weight"],
+            "rendered_median_id": out["rendered_median_id"],
+            "viewspace_points": means2D_offset,
+            "visibility_filter": out["radii"] > 0,
+            "rendered_final_opacity": out["rendered_final_opacity"],
+            "radii": out["radii"],
+            "n_contrib": out["n_contrib"],
+            "num_rendered": out["num_rendered"],
+        }

@@ -6,3 +6,6 @@ _registry = Registry("datasets")
 register = _registry.register
 make = _registry.make
 keys = _registry.keys
+
+from gaustudio_tpu.cameras import Camera  # noqa: E402,F401  (reference exposes datasets.Camera)
+from gaustudio_tpu.datasets import colmap, vanilla, nerf  # noqa: E402,F401

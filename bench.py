@@ -1,0 +1,102 @@
+"""Benchmark: 3DGS render throughput at 1080p (MPix/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no numbers (SURVEY.md §6); per
+BASELINE.json the target is >= 2x A100 diff-gaussian-rasterization
+throughput at 1080p.  We take 300 MPix/s (~145 FPS at 1920x1080) as the
+A100 reference figure for Inria-style CUDA rasterization of a mid-size
+scene, so vs_baseline = value / 600 reports progress against the 2x goal.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_scene(n=300_000, seed=0):
+    """A scene with realistic screen coverage at 1080p."""
+    rng = np.random.default_rng(seed)
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 0] = rng.normal(size=n) * 1.1
+    xyz[:, 1] = rng.normal(size=n) * 0.65
+    xyz[:, 2] = rng.uniform(0.8, 6.0, n)
+    scales = (np.exp(rng.normal(size=(n, 3)) * 0.4) * 0.008).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+    return xyz, scales, quats, opac, colors
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaustudio_tpu.ops import rasterize as rast
+    from gaustudio_tpu.ops.rasterize import RasterizeSettings
+
+    H, W = 1080, 1920
+    tanfov = 0.85
+    znear, zfar = 0.01, 100.0
+    tanfovy = tanfov * H / W
+    W2V = np.eye(4, dtype=np.float32)
+    P = np.zeros((4, 4), np.float32)
+    P[0, 0] = 1 / tanfov
+    P[1, 1] = 1 / tanfovy
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    P[3, 2] = 1.0
+
+    xyz, scales, quats, opac, colors = make_scene()
+    args = tuple(jnp.asarray(a) for a in (xyz, scales, quats, opac, colors))
+
+    settings = RasterizeSettings(
+        image_height=H, image_width=W, tanfovx=tanfov, tanfovy=tanfovy,
+        bg=jnp.zeros(3, jnp.float32),
+        viewmatrix=jnp.asarray(W2V.T), projmatrix=jnp.asarray((P @ W2V).T),
+        campos=jnp.zeros(3, jnp.float32),
+        num_entries=0, chunk=4096,
+    )
+
+    cap = rast.suggest_num_entries(
+        args[0], args[3], settings, scales=args[1], rotations=args[2],
+        margin=1.1,
+    )
+    settings = settings._replace(num_entries=cap)
+
+    @jax.jit
+    def render(xyz, scales, quats, opac, colors):
+        out = rast.rasterize(
+            xyz, opac, settings,
+            colors_precomp=colors, scales=scales, rotations=quats,
+        )
+        return out["render"]
+
+    img = jax.block_until_ready(render(*args))
+    assert np.isfinite(np.asarray(img)).all()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        img = render(*args)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    mpix_s = (H * W / 1e6) / dt
+    baseline = 600.0  # 2x the assumed 300 MPix/s A100 CUDA figure
+    print(json.dumps({
+        "metric": "render_throughput_1080p",
+        "value": round(mpix_s, 2),
+        "unit": "MPix/s",
+        "vs_baseline": round(mpix_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -200,6 +200,7 @@ def preprocess(
     cov3d_precomp=None,
     scale_modifier=1.0,
     means2d_offset=None,
+    valid_mask=None,
 ) -> Preprocessed:
     """Full per-Gaussian preprocess; port of preprocessCUDA (forward.cu:156-256).
 
@@ -252,6 +253,9 @@ def preprocess(
     tiles = rect_wh[..., 0] * rect_wh[..., 1]
 
     valid = in_front & det_ok & (tiles > 0)
+    if valid_mask is not None:
+        # padded-capacity training: masked rows are culled before binning
+        valid = valid & valid_mask
 
     if colors_precomp is not None:
         colors = colors_precomp

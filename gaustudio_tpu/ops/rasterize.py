@@ -61,6 +61,7 @@ def rasterize(
     cov3D_precomp=None,
     means2D_offset=None,
     active_sh_degree=None,
+    valid_mask=None,
 ):
     """Differentiable 3DGS rasterization.
 
@@ -115,6 +116,7 @@ def rasterize(
         cov3d_precomp=cov3D_precomp,
         scale_modifier=settings.scale_modifier,
         means2d_offset=pix_offset,
+        valid_mask=valid_mask,
     )
 
     binned = binning.bin_gaussians(

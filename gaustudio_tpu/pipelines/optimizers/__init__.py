@@ -6,3 +6,5 @@ _registry = Registry("optimizers")
 register = _registry.register
 make = _registry.make
 keys = _registry.keys
+
+from gaustudio_tpu.pipelines.optimizers import general  # noqa: E402,F401

@@ -1,0 +1,488 @@
+"""Full 3DGS training loop with adaptive densification/pruning.
+
+The reference has NO training loop (README.md:117 leaves it as an unchecked
+roadmap item; SURVEY.md §3.5) — this module implements the canonical Inria
+3DGS recipe from the pieces the reference does define: per-attribute
+optimizer groups (configs/vanilla.yaml:27-46), the renderer's
+viewspace_points/visibility_filter/radii outputs (renderers/base.py:55-63),
+and the model's densification stat fields (models/vanilla_sg.py:42-44).
+
+TPU-first design: the Gaussian set lives in *fixed-capacity* padded arrays
+with a validity mask, so the jitted train step and the jitted
+densify/clone/split/prune step never change shapes; the host doubles
+capacity (power-of-two buckets) only when occupancy crosses a threshold.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaustudio_tpu.ops import rasterize as rast
+from gaustudio_tpu.ops import ssim as ssim_ops
+from gaustudio_tpu.ops.rasterize import RasterizeSettings
+from gaustudio_tpu.models.utils import inverse_sigmoid
+from gaustudio_tpu.ops.gaussian import quat_to_rotmat
+from gaustudio_tpu.pipelines.optimizers.general import (
+    AdamState,
+    adam_init,
+    adam_update,
+    exp_lr_schedule,
+)
+
+
+class TrainConfig(NamedTuple):
+    iterations: int = 30000
+    lambda_dssim: float = 0.2
+    # per-attribute lrs (configs/vanilla.yaml:30-46 + Inria defaults)
+    lr_xyz_init: float = 0.00016
+    lr_xyz_final: float = 0.0000016
+    lr_xyz_max_steps: int = 30000
+    lr_f_dc: float = 0.0025
+    lr_f_rest: float = 0.000125
+    lr_opacity: float = 0.05
+    lr_scale: float = 0.005
+    lr_rot: float = 0.001
+    # densification (Inria defaults)
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15000
+    densification_interval: int = 100
+    densify_grad_threshold: float = 0.0002
+    opacity_reset_interval: int = 3000
+    percent_dense: float = 0.01
+    min_opacity: float = 0.005
+    max_screen_size: int = 20
+    sh_increase_interval: int = 1000
+    max_sh_degree: int = 3
+    white_background: bool = False
+
+
+class GaussianTrainState(NamedTuple):
+    """Fixed-capacity training state (a pytree)."""
+
+    params: Dict[str, jnp.ndarray]  # xyz [C,3], f_dc [C,3], f_rest [C,45],
+    # opacity [C,1], scale [C,3], rot [C,4]
+    valid: jnp.ndarray  # [C] bool
+    opt: AdamState
+    step: jnp.ndarray  # [] int32
+    xyz_grad_accum: jnp.ndarray  # [C]
+    denom: jnp.ndarray  # [C]
+    max_radii2d: jnp.ndarray  # [C]
+    active_sh_degree: jnp.ndarray  # [] int32
+
+    @property
+    def num_points(self):
+        return jnp.sum(self.valid)
+
+
+class CameraBatch(NamedTuple):
+    """Per-view traced arrays for the jitted step (static dims live in
+    RasterizeSettings)."""
+
+    viewmatrix: jnp.ndarray
+    projmatrix: jnp.ndarray
+    campos: jnp.ndarray
+    gt_image: jnp.ndarray  # [3, H, W]
+
+
+def _round_capacity(n: int, minimum: int = 4096) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def init_state(pcd, capacity: Optional[int] = None) -> GaussianTrainState:
+    """Build padded train state from a VanillaPointCloud."""
+    n = pcd.num_points
+    cap = capacity or _round_capacity(int(n * 2))
+
+    def pad(x, fill=0.0):
+        x = np.asarray(x, np.float32).reshape(n, -1)
+        out = np.full((cap, x.shape[1]), fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    params = {
+        "xyz": pad(pcd._xyz),
+        "f_dc": pad(pcd._f_dc),
+        "f_rest": pad(np.asarray(pcd._f_rest).reshape(n, -1)),
+        "opacity": pad(pcd._opacity, fill=-10.0),
+        "scale": pad(pcd._scale, fill=-10.0),
+        "rot": pad(pcd._rot, fill=0.0),
+    }
+    params["rot"] = params["rot"].at[:, 0].set(
+        jnp.where(jnp.arange(cap) < n, params["rot"][:, 0], 1.0)
+    )
+    valid = jnp.arange(cap) < n
+    return GaussianTrainState(
+        params=params,
+        valid=valid,
+        opt=adam_init(params),
+        step=jnp.zeros((), jnp.int32),
+        xyz_grad_accum=jnp.zeros((cap,), jnp.float32),
+        denom=jnp.zeros((cap,), jnp.float32),
+        max_radii2d=jnp.zeros((cap,), jnp.float32),
+        active_sh_degree=jnp.zeros((), jnp.int32),
+    )
+
+
+def state_to_model(state: GaussianTrainState, pcd):
+    """Write trained values back into a VanillaPointCloud (host)."""
+    valid = np.asarray(state.valid)
+    pcd.update(
+        xyz=np.asarray(state.params["xyz"])[valid],
+        f_dc=np.asarray(state.params["f_dc"])[valid],
+        f_rest=np.asarray(state.params["f_rest"])[valid],
+        opacity=np.asarray(state.params["opacity"])[valid],
+        scale=np.asarray(state.params["scale"])[valid],
+        rot=np.asarray(state.params["rot"])[valid],
+    )
+    pcd.active_sh_degree = int(state.active_sh_degree)
+    return pcd
+
+
+def _features(params):
+    """Band-major [C, 16, 3] SH coefficients from the stored layout."""
+    C = params["f_dc"].shape[0]
+    f_dc = params["f_dc"].reshape(C, 1, 3)
+    f_rest = params["f_rest"].reshape(C, 3, -1).transpose(0, 2, 1)
+    return jnp.concatenate([f_dc, f_rest], axis=1)
+
+
+def render_from_params(params, valid, active_sh_degree, settings: RasterizeSettings,
+                       means2d_offset=None):
+    """Differentiable render of the padded parameter set."""
+    opacity = jax.nn.sigmoid(params["opacity"][:, 0])
+    scales = jnp.exp(params["scale"])
+    rots = params["rot"] / jnp.maximum(
+        jnp.linalg.norm(params["rot"], axis=-1, keepdims=True), 1e-12
+    )
+    return rast.rasterize(
+        params["xyz"],
+        opacity,
+        settings,
+        shs=_features(params),
+        scales=scales,
+        rotations=rots,
+        means2D_offset=means2d_offset,
+        active_sh_degree=active_sh_degree,
+        valid_mask=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("settings", "cfg"), donate_argnums=(0,))
+def train_step(state: GaussianTrainState, batch: CameraBatch,
+               settings: RasterizeSettings, cfg: TrainConfig):
+    """One optimization step: render -> L1+D-SSIM -> Adam -> stats."""
+    s = settings._replace(
+        viewmatrix=batch.viewmatrix, projmatrix=batch.projmatrix,
+        campos=batch.campos, bg=jnp.zeros(3),
+    )
+    capacity = state.params["xyz"].shape[0]
+    offset0 = jnp.zeros((capacity, 2), jnp.float32)
+
+    bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
+
+    def loss_fn(params, offset):
+        out = render_from_params(params, state.valid, state.active_sh_degree, s,
+                                 means2d_offset=offset)
+        # Composite the background in the loss: pred = C + T_final * bg.
+        # The kernel leaves bg out of the forward (parity with
+        # forward.cu:385-396), so adding it here reproduces BOTH Inria's
+        # forward compositing and the backward bg term of backward.cu:584-587
+        # exactly — via autodiff instead of the kernel quirk.
+        pred = out["render"] + bg[:, None, None] * (1.0 - out["rendered_final_opacity"][0])
+        loss = ssim_ops.rgb_loss(pred, batch.gt_image, cfg.lambda_dssim)
+        return loss, out
+
+    (loss, out), (grads, vs_grads) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, offset0)
+
+    visible = out["radii"] > 0
+    vs_norm = jnp.linalg.norm(vs_grads, axis=-1)
+    xyz_grad_accum = state.xyz_grad_accum + jnp.where(visible, vs_norm, 0.0)
+    denom = state.denom + visible.astype(jnp.float32)
+    max_radii2d = jnp.maximum(state.max_radii2d, out["radii"].astype(jnp.float32))
+
+    xyz_lr = exp_lr_schedule(cfg.lr_xyz_init, cfg.lr_xyz_final, cfg.lr_xyz_max_steps)(
+        state.step
+    )
+    lrs = {
+        "xyz": xyz_lr,
+        "f_dc": cfg.lr_f_dc,
+        "f_rest": cfg.lr_f_rest,
+        "opacity": cfg.lr_opacity,
+        "scale": cfg.lr_scale,
+        "rot": cfg.lr_rot,
+    }
+    new_params, new_opt = adam_update(
+        grads, state.opt, state.params, lrs, row_mask=state.valid
+    )
+
+    metrics = {
+        "loss": loss,
+        "psnr": ssim_ops.psnr(out["render"], batch.gt_image),
+        "num_points": jnp.sum(state.valid),
+        "num_rendered": out["num_rendered"],
+    }
+    new_state = state._replace(
+        params=new_params,
+        opt=new_opt,
+        step=state.step + 1,
+        xyz_grad_accum=xyz_grad_accum,
+        denom=denom,
+        max_radii2d=max_radii2d,
+    )
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
+                      prune_big_points: jnp.ndarray):
+    """Adaptive density control (canonical 3DGS: clone small / split large
+    over the grad threshold, prune transparent + oversized)."""
+    C = state.valid.shape[0]
+    p = state.params
+    grads = state.xyz_grad_accum / jnp.maximum(state.denom, 1.0)
+    scale_act = jnp.exp(p["scale"])
+    max_scale = jnp.max(scale_act, axis=-1)
+    opacity_act = jax.nn.sigmoid(p["opacity"][:, 0])
+
+    over_thr = state.valid & (grads >= cfg.densify_grad_threshold)
+    clone_mask = over_thr & (max_scale <= cfg.percent_dense * extent)
+    split_mask = over_thr & (max_scale > cfg.percent_dense * extent)
+
+    prune_mask = state.valid & (opacity_act < cfg.min_opacity)
+    big_screen = state.max_radii2d > cfg.max_screen_size
+    big_world = max_scale > 0.1 * extent
+    prune_mask = prune_mask | (
+        prune_big_points & state.valid & (big_screen | big_world)
+    )
+
+    # survivors: valid, not pruned, not split (split parents are replaced)
+    survive = state.valid & ~prune_mask & ~split_mask
+
+    # --- gather newcomer sources (static-size nonzero) ---
+    clone_src = jnp.nonzero(clone_mask, size=C, fill_value=-1)[0]
+    split_src = jnp.nonzero(split_mask, size=C, fill_value=-1)[0]
+    n_clone = jnp.sum(clone_mask)
+    n_split = jnp.sum(split_mask)
+
+    # newcomers: [clones | split sample 1 | split sample 2]
+    src = jnp.concatenate([clone_src, split_src, split_src])  # [3C]
+    src_ok = jnp.concatenate(
+        [
+            jnp.arange(C) < n_clone,
+            jnp.arange(C) < n_split,
+            jnp.arange(C) < n_split,
+        ]
+    )
+    is_split = jnp.concatenate(
+        [jnp.zeros(C, bool), jnp.ones(C, bool), jnp.ones(C, bool)]
+    )
+    src_c = jnp.maximum(src, 0)
+
+    # split sampling: x_new = x + R @ (eps * scale), scale /= (0.8 * 2)
+    eps = jax.random.normal(key, (3 * C, 3)) * scale_act[src_c]
+    R = quat_to_rotmat(p["rot"][src_c], normalize=True)
+    offset = jnp.einsum("nij,nj->ni", R, eps)
+    new_xyz = p["xyz"][src_c] + jnp.where(is_split[:, None], offset, 0.0)
+    new_scale = jnp.where(
+        is_split[:, None],
+        jnp.log(jnp.maximum(scale_act[src_c] / (0.8 * 2.0), 1e-12)),
+        p["scale"][src_c],
+    )
+
+    # --- place newcomers into free slots ---
+    free = ~survive
+    free_slots = jnp.nonzero(free, size=C, fill_value=C)[0]  # [C]
+    n_free = jnp.sum(free)
+
+    order = jnp.argsort(~src_ok)  # valid newcomers first, stable
+    src_sorted = src_c[order]
+    ok_sorted = src_ok[order]
+    new_xyz_s = new_xyz[order]
+    new_scale_s = new_scale[order]
+
+    n_new = jnp.sum(src_ok)
+    n_place = jnp.minimum(jnp.minimum(n_new, n_free), C)
+    place = jnp.arange(C) < n_place  # first C newcomers considered
+    target = free_slots  # [C] slots for newcomer rank i
+
+    def scatter(dst, new_vals):
+        # dst [C, D]; place newcomer i at target[i]
+        tgt = jnp.where(place, target, C)  # out-of-range drops
+        return dst.at[tgt].set(jnp.where(place[:, None], new_vals[:C], 0.0), mode="drop")
+
+    new_params = {}
+    for k in p:
+        if k == "xyz":
+            vals = new_xyz_s
+        elif k == "scale":
+            vals = new_scale_s
+        else:
+            vals = p[k][src_sorted]
+        new_params[k] = scatter(p[k], vals)
+
+    placed = jnp.zeros(C, bool).at[jnp.where(place, target, C)].set(
+        place, mode="drop"
+    )
+    new_valid = survive | placed
+
+    # zero optimizer moments for every slot that changed (placed or freed)
+    changed = placed | (state.valid & ~survive)
+    zero_rows = lambda t: jnp.where(
+        changed.reshape((-1,) + (1,) * (t.ndim - 1)), 0.0, t
+    )
+    new_opt = AdamState(
+        mu={k: zero_rows(v) for k, v in state.opt.mu.items()},
+        nu={k: zero_rows(v) for k, v in state.opt.nu.items()},
+        count=state.opt.count,
+    )
+
+    return state._replace(
+        params=new_params,
+        valid=new_valid,
+        opt=new_opt,
+        xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
+        denom=jnp.zeros_like(state.denom),
+        max_radii2d=jnp.zeros_like(state.max_radii2d),
+    )
+
+
+@jax.jit
+def reset_opacity(state: GaussianTrainState):
+    """Inria opacity reset: opacity <- min(opacity, sigmoid^-1(0.01))."""
+    new_op = jnp.minimum(state.params["opacity"], inverse_sigmoid(0.01))
+    params = dict(state.params)
+    params["opacity"] = new_op
+    mu = dict(state.opt.mu)
+    nu = dict(state.opt.nu)
+    mu["opacity"] = jnp.zeros_like(mu["opacity"])
+    nu["opacity"] = jnp.zeros_like(nu["opacity"])
+    return state._replace(params=params, opt=AdamState(mu=mu, nu=nu,
+                                                       count=state.opt.count))
+
+
+@jax.jit
+def oneup_sh_degree(state: GaussianTrainState, max_degree: int = 3):
+    return state._replace(
+        active_sh_degree=jnp.minimum(state.active_sh_degree + 1, max_degree)
+    )
+
+
+class Trainer:
+    """Host-side loop: camera sampling, capacity growth, schedules, logging."""
+
+    def __init__(self, pcd, dataset, cfg: TrainConfig = TrainConfig(),
+                 num_entries: Optional[int] = None, chunk: int = 2048, seed: int = 0):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.cameras = list(dataset)
+        self.extent = float(getattr(dataset, "cameras_extent", 1.0))
+        self.state = init_state(pcd)
+        self.pcd = pcd
+        self.key = jax.random.PRNGKey(seed)
+        cam0 = self.cameras[0]
+        self.H, self.W = int(cam0.image_height), int(cam0.image_width)
+        if num_entries is None:
+            probe = self._settings(1 << 14)
+            num_entries = rast.suggest_num_entries(
+                self.state.params["xyz"], jax.nn.sigmoid(self.state.params["opacity"][:, 0]),
+                probe._replace(viewmatrix=jnp.asarray(cam0.world_view_transform),
+                               projmatrix=jnp.asarray(cam0.full_proj_transform),
+                               campos=jnp.asarray(cam0.camera_center)),
+                scales=jnp.exp(self.state.params["scale"]),
+                rotations=self.state.params["rot"],
+                margin=4.0,
+            )
+        self.num_entries = num_entries
+        self.chunk = chunk
+
+    def _settings(self, num_entries) -> RasterizeSettings:
+        cam0 = self.cameras[0]
+        return RasterizeSettings(
+            image_height=self.H,
+            image_width=self.W,
+            tanfovx=math.tan(cam0.FoVx * 0.5),
+            tanfovy=math.tan(cam0.FoVy * 0.5),
+            bg=None,
+            sh_degree=self.cfg.max_sh_degree,
+            num_entries=num_entries,
+            chunk=self.chunk,
+        )
+
+    def _batch(self, camera) -> CameraBatch:
+        gt = jnp.moveaxis(jnp.asarray(camera.image, jnp.float32), -1, 0)
+        return CameraBatch(
+            viewmatrix=jnp.asarray(camera.world_view_transform),
+            projmatrix=jnp.asarray(camera.full_proj_transform),
+            campos=jnp.asarray(camera.camera_center),
+            gt_image=gt,
+        )
+
+    def maybe_grow_capacity(self):
+        valid = int(np.asarray(self.state.num_points))
+        cap = self.state.valid.shape[0]
+        if valid > 0.85 * cap:
+            new_cap = cap * 2
+
+            def grow(x, fill=0.0):
+                pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, pad, constant_values=fill)
+
+            s = self.state
+            self.state = GaussianTrainState(
+                params={k: grow(v) for k, v in s.params.items()},
+                valid=grow(s.valid, False),
+                opt=AdamState(
+                    mu={k: grow(v) for k, v in s.opt.mu.items()},
+                    nu={k: grow(v) for k, v in s.opt.nu.items()},
+                    count=s.opt.count,
+                ),
+                step=s.step,
+                xyz_grad_accum=grow(s.xyz_grad_accum),
+                denom=grow(s.denom),
+                max_radii2d=grow(s.max_radii2d),
+                active_sh_degree=s.active_sh_degree,
+            )
+
+    def train(self, iterations: Optional[int] = None, log_every: int = 100,
+              callback=None):
+        cfg = self.cfg
+        iters = iterations or cfg.iterations
+        settings = self._settings(self.num_entries)
+        rng = np.random.default_rng(0)
+        history = []
+        for it in range(1, iters + 1):
+            cam = self.cameras[rng.integers(len(self.cameras))]
+            self.state, metrics = train_step(self.state, self._batch(cam), settings, cfg)
+
+            if it % cfg.sh_increase_interval == 0:
+                self.state = oneup_sh_degree(self.state, cfg.max_sh_degree)
+
+            if cfg.densify_from_iter < it < cfg.densify_until_iter:
+                if it % cfg.densification_interval == 0:
+                    self.key, sub = jax.random.split(self.key)
+                    prune_big = jnp.asarray(it > cfg.opacity_reset_interval)
+                    self.state = densify_and_prune(
+                        self.state, sub, jnp.asarray(self.extent), cfg, prune_big
+                    )
+                    self.maybe_grow_capacity()
+                if it % cfg.opacity_reset_interval == 0:
+                    self.state = reset_opacity(self.state)
+
+            if it % log_every == 0 or it == iters:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m["iter"] = it
+                history.append(m)
+                if callback:
+                    callback(m)
+        return history

@@ -1,0 +1,133 @@
+"""Multi-device tests on the virtual 8-CPU mesh: camera-DP + gs sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaustudio_tpu import models
+from gaustudio_tpu.cameras import camera_paths
+from gaustudio_tpu.parallel import make_mesh
+from gaustudio_tpu.parallel import render_dp, train_dp
+from gaustudio_tpu.pipelines import train as T
+from gaustudio_tpu.pipelines.train import CameraBatch, TrainConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _scene(size=32, n=64, n_cams=8):
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    rgb = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    pcd = models.make({"name": "vanilla_pcd"})
+    pcd.create_from_attribute(xyz=xyz, rgb=rgb)
+    cams = camera_paths.get_path_from_orbit(
+        np.zeros(3), 2.0, num_cam=n_cams, image_size=size, fov_deg=50
+    )
+    from gaustudio_tpu import renderers
+
+    renderer = renderers.make({"name": "vanilla_renderer"})
+    pcd.active_sh_degree = 0
+    for cam in cams:
+        out = renderer.render(cam, pcd)
+        cam.image = np.moveaxis(np.asarray(out["render"]), 0, -1)
+    return pcd, cams
+
+
+def _stack_batch(trainer, cams):
+    batches = [trainer._batch(c) for c in cams]
+    return CameraBatch(*[jnp.stack(x) for x in zip(*batches)])
+
+
+@pytest.mark.parametrize("dp,gs", [(8, 1), (4, 2), (2, 4)])
+def test_dp_gs_train_step(dp, gs):
+    pcd, cams = _scene()
+    # perturb the model away from the GT optimum so the loss can decrease
+    pcd._f_dc = np.zeros_like(pcd._f_dc)
+    cfg = TrainConfig()
+    trainer = T.Trainer(pcd, cams, cfg, num_entries=1 << 13, chunk=512)
+    mesh = make_mesh(dp=dp, gs=gs)
+    state = train_dp.shard_state(mesh, trainer.state)
+    step = train_dp.make_dp_train_step(mesh, trainer._settings(1 << 13), cfg)
+
+    batch = _stack_batch(trainer, cams[:dp])
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # optimizing
+    assert int(metrics["num_points"]) == pcd.num_points
+
+
+def test_dp_matches_single_device():
+    """A dp=1,gs=8 sharded step must agree with the plain train step."""
+    pcd, cams = _scene()
+    cfg = TrainConfig()
+    trainer = T.Trainer(pcd, cams, cfg, num_entries=1 << 13, chunk=512)
+    settings = trainer._settings(1 << 13)
+
+    mesh = make_mesh(dp=1, gs=8)
+    sharded = train_dp.shard_state(mesh, trainer.state)
+    step = train_dp.make_dp_train_step(mesh, settings, cfg)
+    batch1 = _stack_batch(trainer, cams[:1])
+    sharded_out, m_sharded = step(sharded, batch1)
+
+    plain_out, m_plain = T.train_step(
+        T.init_state(pcd, capacity=trainer.state.valid.shape[0]),
+        trainer._batch(cams[0]), settings, cfg,
+    )
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_plain["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded_out.params["xyz"]),
+        np.asarray(plain_out.params["xyz"]),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_dp_render_and_fuse():
+    pcd, cams = _scene(size=32, n_cams=8)
+    mesh = make_mesh(dp=8, gs=1)
+    from gaustudio_tpu.ops import rasterize as rast
+    from gaustudio_tpu.ops.rasterize import RasterizeSettings
+    import math
+
+    cam0 = cams[0]
+    settings = RasterizeSettings(
+        image_height=32, image_width=32,
+        tanfovx=math.tan(cam0.FoVx / 2), tanfovy=math.tan(cam0.FoVy / 2),
+        bg=jnp.zeros(3), num_entries=1 << 12, chunk=512,
+    )
+    xyz = jnp.asarray(pcd._xyz)
+    colors = jnp.asarray(np.random.default_rng(0).uniform(size=(len(pcd._xyz), 3)).astype(np.float32))
+    scales = jnp.exp(jnp.asarray(pcd._scale))
+    rots = jnp.asarray(pcd._rot)
+    opac = jax.nn.sigmoid(jnp.asarray(pcd._opacity)[:, 0])
+
+    def render_fn(s):
+        return rast.rasterize(xyz, opac, s, colors_precomp=colors,
+                              scales=scales, rotations=rots)
+
+    rc = render_dp.RenderCamera(
+        viewmatrix=jnp.stack([jnp.asarray(c.world_view_transform) for c in cams]),
+        projmatrix=jnp.stack([jnp.asarray(c.full_proj_transform) for c in cams]),
+        campos=jnp.stack([jnp.asarray(c.camera_center) for c in cams]),
+        intrinsics=jnp.stack([jnp.asarray(c.intrinsics) for c in cams]),
+        world_to_cam=jnp.stack([jnp.asarray(c.extrinsics) for c in cams]),
+    )
+    render = render_dp.make_dp_render_fn(mesh, settings, render_fn)
+    out = render(rc)
+    assert out["render"].shape == (8, 3, 32, 32)
+    assert np.isfinite(np.asarray(out["render"])).all()
+
+    from gaustudio_tpu.ops import tsdf
+
+    vol = tsdf.volume_from_bounds([-1, -1, -1], [1, 1, 1], 0.05, 0.2)
+    fuse = render_dp.make_dp_fuse_fn(mesh, settings, render_fn)
+    vol2 = fuse(vol, rc)
+    assert float(jnp.sum(vol2.weight)) > 0
+    assert np.isfinite(np.asarray(vol2.tsdf)).all()

@@ -78,14 +78,20 @@ def main():
         )
         return out["render"]
 
-    img = jax.block_until_ready(render(*args))
+    def sync(x):
+        # NB: on the axon remote backend block_until_ready does not actually
+        # block; a scalar device->host read is the reliable fence.
+        return float(jnp.reshape(x, (-1,))[0])
+
+    img = render(*args)
+    sync(img)
     assert np.isfinite(np.asarray(img)).all()
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         img = render(*args)
-    jax.block_until_ready(img)
+    sync(img)
     dt = (time.perf_counter() - t0) / n_iters
 
     mpix_s = (H * W / 1e6) / dt

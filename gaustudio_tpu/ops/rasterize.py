@@ -47,6 +47,7 @@ class RasterizeSettings(NamedTuple):
     debug: bool = False
     num_entries: int = 1 << 18  # static capacity of the intersection list
     chunk: int = 1024  # entries per compositing scan step
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
 
 def rasterize(
@@ -119,33 +120,47 @@ def rasterize(
         valid_mask=valid_mask,
     )
 
-    binned = binning.bin_gaussians(
-        jax.tree.map(
-            lambda x: jax.lax.stop_gradient(x)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            pre,
-        ),
-        grid_x,
-        grid_y,
-        settings.num_entries,
+    pre_sg = jax.tree.map(
+        lambda x: jax.lax.stop_gradient(x)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        pre,
     )
 
-    out = rasterize_ref.composite(
-        grid_x,
-        grid_y,
-        settings.chunk,
-        pre.means2d,
-        pre.conic,
-        pre.colors,
-        pre.depths,
-        pre.opacities,
-        settings.bg,
-        binned.gauss_id,
-        binned.tile_id,
-        binned.entry_valid,
-        binned.tile_start,
-    )
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+
+    if backend == "pallas":
+        from gaustudio_tpu.ops import binning_fast, rasterize_pallas
+
+        binned_fast = binning_fast.bin_gaussians_fast(
+            pre_sg, grid_x, grid_y, settings.num_entries
+        )
+        out = rasterize_pallas.composite_fast(
+            grid_x, grid_y, settings.chunk,
+            pre.means2d, pre.conic, pre.colors, pre.depths, pre.opacities,
+            settings.bg, binned_fast,
+        )
+        num_rendered = binned_fast.num_rendered
+    else:
+        binned = binning.bin_gaussians(pre_sg, grid_x, grid_y, settings.num_entries)
+        out = rasterize_ref.composite(
+            grid_x,
+            grid_y,
+            settings.chunk,
+            pre.means2d,
+            pre.conic,
+            pre.colors,
+            pre.depths,
+            pre.opacities,
+            settings.bg,
+            binned.gauss_id,
+            binned.tile_id,
+            binned.entry_valid,
+            binned.tile_start,
+        )
+        num_rendered = binned.num_rendered
 
     to_img = lambda x: rasterize_ref.tiles_to_image(x, grid_x, grid_y, H, W)
     render = jnp.moveaxis(to_img(out.color), -1, 0)  # [3,H,W]
@@ -165,7 +180,7 @@ def rasterize(
         "rendered_final_opacity": (1.0 - final_T)[None],
         "radii": pre.radii,
         "n_contrib": n_contrib,
-        "num_rendered": binned.num_rendered,
+        "num_rendered": num_rendered,
     }
 
 

@@ -1,0 +1,262 @@
+"""Pallas TPU forward compositor — the flagship rasterization kernel.
+
+Replaces the XLA streaming compositor (rasterize_ref) for inference/bench:
+one Pallas program per 16x16 tile walks its (tile,depth)-sorted entry
+blocks front-to-back, carrying all per-pixel state in registers:
+
+  * layout: pixels on the 256-sublane axis, entries on the 256-lane axis,
+    so per-entry attributes are natural (1, 256) lane vectors and alpha is
+    one (256, 256) VPU tile per quantity;
+  * the sequential transmittance recurrence becomes a Hillis-Steele lane
+    prefix product (8 masked roll-multiply steps), exactly the associative
+    reformulation validated against the CUDA semantics in rasterize_ref;
+  * entry data streams from HBM with double-buffered DMA of the
+    block-aligned [NB, 16, 256] layout built by binning_fast;
+  * per-tile early exit (forward.cu:318-320's block vote) is a while-loop
+    condition on max transmittance.
+
+Outputs are packed per tile as [T, 256, 16]:
+0:r 1:g 2:b 3:depth 4:med_depth 5:med_weight 6:med_id 7:final_T 8:n_contrib.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaustudio_tpu.ops.binning_fast import BLOCK, NUM_ATTRS, BinnedBlocks
+from gaustudio_tpu.ops.gaussian import TILE_PIXELS, TILE_X, TILE_Y
+
+_TERM_EPS = 1e-4
+_ALPHA_MIN = 1.0 / 255.0
+_ALPHA_MAX = 0.99
+_MEDIAN_DEFAULT = 15.0
+
+NUM_OUT = 16
+
+
+def _composite_kernel(first_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
+                      *, grid_x: int):
+    t = pl.program_id(0)
+    first_block = first_ref[t]
+    count = count_ref[t]
+    n_blocks = (count + BLOCK - 1) // BLOCK
+
+    tx = (t % grid_x).astype(jnp.float32)
+    ty = (t // grid_x).astype(jnp.float32)
+    q = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
+    px = tx * TILE_X + (q % TILE_X).astype(jnp.float32)
+    py = ty * TILE_Y + (q // TILE_X).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+
+    def get_dma(slot, blk_idx):
+        return pltpu.make_async_copy(
+            blocks_hbm.at[first_block + blk_idx],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_blocks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    init = (
+        jnp.zeros((), jnp.int32),  # chunk index
+        jnp.ones((TILE_PIXELS, 1), jnp.float32),  # T
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # r
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # g
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # b
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # depth
+        jnp.full((TILE_PIXELS, 1), _MEDIAN_DEFAULT, jnp.float32),  # med_d
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_w
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_i
+        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # n_contrib
+    )
+
+    def cond(state):
+        c, T = state[0], state[1]
+        return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
+
+    def body(state):
+        c, T, r, g, b, d, md, mw, mi, nc = state
+        slot = c % 2
+
+        @pl.when(c + 1 < n_blocks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        blk = scratch[slot]  # (16, BLOCK)
+
+        mx = blk[0:1, :]
+        my = blk[1:2, :]
+        ca = blk[2:3, :]
+        cb = blk[3:4, :]
+        cc = blk[4:5, :]
+        op = blk[5:6, :]
+        col_r = blk[6:7, :]
+        col_g = blk[7:8, :]
+        col_b = blk[8:9, :]
+        dep = blk[9:10, :]
+        gid = blk[10:11, :]
+        vld = blk[11:12, :]
+
+        dx = mx - px  # (256, 256)
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        Ge = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
+        in_range = (c * BLOCK + lane) < count
+        alpha = jnp.where(
+            (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
+            0.0,
+            alpha,
+        )
+
+        # lane-axis inclusive prefix product (Hillis-Steele)
+        cum = 1.0 - alpha
+        for s in (1, 2, 4, 8, 16, 32, 64, 128):
+            shifted = pltpu.roll(cum, s, axis=1)
+            shifted = jnp.where(lane < s, 1.0, shifted)
+            cum = cum * shifted
+
+        P_incl = T * cum
+        one_m = 1.0 - alpha
+        P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
+        applied = P_incl >= _TERM_EPS
+        w = jnp.where(applied, alpha * P_excl, 0.0)
+
+        r = r + jnp.sum(w * col_r, axis=1, keepdims=True)
+        g = g + jnp.sum(w * col_g, axis=1, keepdims=True)
+        b = b + jnp.sum(w * col_b, axis=1, keepdims=True)
+        d = d + jnp.sum(w * dep, axis=1, keepdims=True)
+
+        T = jnp.minimum(
+            T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=1, keepdims=True)
+        )
+
+        cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
+        crossed = jnp.any(cross, axis=1, keepdims=True)
+        md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 1, keepdims=True), md)
+        mw = jnp.where(
+            crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 1, keepdims=True), mw
+        )
+        mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 1, keepdims=True), mi)
+
+        pos1 = (c * BLOCK + lane + 1).astype(jnp.float32)
+        nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 1, keepdims=True))
+
+        return (c + 1, T, r, g, b, d, md, mw, mi, nc)
+
+    state = jax.lax.while_loop(cond, body, init)
+    _, T, r, g, b, d, md, mw, mi, nc = state
+
+    out_ref[0, :, 0:1] = r
+    out_ref[0, :, 1:2] = g
+    out_ref[0, :, 2:3] = b
+    out_ref[0, :, 3:4] = d
+    out_ref[0, :, 4:5] = md
+    out_ref[0, :, 5:6] = mw
+    out_ref[0, :, 6:7] = mi
+    out_ref[0, :, 7:8] = T
+    out_ref[0, :, 8:9] = nc
+    out_ref[0, :, 9:16] = jnp.zeros((TILE_PIXELS, 7), jnp.float32)
+
+
+def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int):
+    """Run the tile compositor; returns packed [T, 256, 16] tile outputs."""
+    num_tiles = grid_x * grid_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, TILE_PIXELS, NUM_OUT), lambda t, f, c: (t, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_ATTRS, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_composite_kernel, grid_x=grid_x)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, NUM_OUT), jnp.float32),
+        grid_spec=grid_spec,
+    )(binned.tile_first_block, binned.tile_count, binned.entry_blocks)
+
+
+def rasterize_tiles_fast(pre, grid_x: int, grid_y: int, num_entries: int):
+    """preprocess results -> packed tile outputs via fast binning + Pallas."""
+    from gaustudio_tpu.ops.binning_fast import bin_gaussians_fast
+
+    binned = bin_gaussians_fast(pre, grid_x, grid_y, num_entries)
+    out = composite_pallas(binned, grid_x, grid_y)
+    return out, binned
+
+
+# --- differentiable wrapper: Pallas forward + XLA reverse-walk backward -----
+
+def _packed_to_tilemajor(packed, num_tiles):
+    """[T,256,16] kernel output -> CompositeOut-style (T+1)-row arrays."""
+    from gaustudio_tpu.ops import rasterize_ref as RR
+
+    pad = lambda x, v=0.0: jnp.concatenate(
+        [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0
+    )
+    return RR.CompositeOut(
+        color=pad(packed[:, :, 0:3]),
+        depth=pad(packed[:, :, 3]),
+        median_depth=pad(packed[:, :, 4], rasterize_pallas_median_default()),
+        median_weight=pad(packed[:, :, 5]),
+        median_id=pad(packed[:, :, 6]),
+        final_T=pad(packed[:, :, 7], 1.0),
+        n_contrib=pad(packed[:, :, 8], 0.0).astype(jnp.int32),
+    )
+
+
+def rasterize_pallas_median_default():
+    return _MEDIAN_DEFAULT
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def composite_fast(grid_x, grid_y, chunk, means2d, conic, colors, depths,
+                   opacities, bg, binned: BinnedBlocks):
+    """Drop-in for rasterize_ref.composite with the Pallas forward.
+
+    ``binned`` must have been built from the same (stop-gradiented)
+    preprocess outputs; gradients flow to the explicit array args through
+    the XLA reverse-walk backward (rasterize_ref._composite_bwd).
+    """
+    packed = composite_pallas(binned, grid_x, grid_y)
+    return _packed_to_tilemajor(packed, grid_x * grid_y)
+
+
+def _composite_fast_fwd(grid_x, grid_y, chunk, means2d, conic, colors, depths,
+                        opacities, bg, binned):
+    out = composite_fast(grid_x, grid_y, chunk, means2d, conic, colors,
+                         depths, opacities, bg, binned)
+    res = (means2d, conic, colors, depths, opacities, bg, binned,
+           out.final_T, out.n_contrib)
+    return out, res
+
+
+def _composite_fast_bwd(grid_x, grid_y, chunk, res, ct):
+    from gaustudio_tpu.ops import rasterize_ref as RR
+    from gaustudio_tpu.ops.binning_fast import compat_arrays
+
+    (means2d, conic, colors, depths, opacities, bg, binned,
+     final_T, n_contrib) = res
+    gid, tile, valid, tile_start = compat_arrays(binned, grid_x, grid_y)
+    ref_res = (means2d, conic, colors, depths, opacities, bg, gid, tile,
+               valid, tile_start, final_T, n_contrib)
+    grads = RR._composite_bwd(grid_x, grid_y, chunk, ref_res, ct)
+    return grads[:6] + (None,)
+
+
+composite_fast.defvjp(_composite_fast_fwd, _composite_fast_bwd)

@@ -1,0 +1,110 @@
+"""Pallas fast path vs the XLA golden compositor (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from gaustudio_tpu.ops import binning, gaussian, rasterize_ref
+from gaustudio_tpu.ops import binning_fast, rasterize_pallas
+from tests.test_rasterize import _make_scene
+
+_ON_TPU = jax.devices()[0].platform != "cpu"
+
+
+def _interp():
+    if _ON_TPU:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
+
+@pytest.fixture(scope="module")
+def preprocessed():
+    s = _make_scene(n=60, seed=4, w=48, h=32)
+    st = s["settings"]
+    pre = gaussian.preprocess(
+        jnp.asarray(s["means"]), jnp.asarray(s["opac"]),
+        st.viewmatrix, st.projmatrix, st.campos,
+        st.image_width, st.image_height, st.tanfovx, st.tanfovy,
+        colors_precomp=jnp.asarray(s["colors"]),
+        scales=jnp.asarray(s["scales"]), rotations=jnp.asarray(s["quats"]),
+    )
+    return pre, st
+
+
+def test_fast_binning_matches_reference(preprocessed):
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+    ref = binning.bin_gaussians(pre, gx, gy, 4096)
+
+    with _interp():
+        fast = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+
+    assert int(fast.num_rendered) == int(ref.num_rendered)
+    np.testing.assert_array_equal(
+        np.asarray(fast.tile_count), np.asarray(ref.tile_count)
+    )
+    # per-tile entry sets and order must match: compare gaussian id sequences
+    ref_gid = np.asarray(ref.gauss_id)
+    ref_start = np.asarray(ref.tile_start)
+    ref_count = np.asarray(ref.tile_count)
+    blocks = np.asarray(fast.entry_blocks)  # [NB, 16, 256]
+    first = np.asarray(fast.tile_first_block)
+    for t in range(gx * gy):
+        cnt = ref_count[t]
+        if cnt == 0:
+            continue
+        want = ref_gid[ref_start[t] : ref_start[t] + cnt]
+        flat = blocks[first[t] :].transpose(0, 2, 1).reshape(-1, 16)
+        got = flat[:cnt, 10].astype(np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=f"tile {t}")
+        # validity flags set
+        assert (flat[:cnt, 11] > 0.5).all()
+
+
+def test_pallas_composite_matches_reference(preprocessed):
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    ref_bin = binning.bin_gaussians(pre, gx, gy, 4096)
+    ref = rasterize_ref.composite(
+        gx, gy, 256, pre.means2d, pre.conic, pre.colors, pre.depths,
+        pre.opacities, jnp.zeros(3), ref_bin.gauss_id, ref_bin.tile_id,
+        ref_bin.entry_valid, ref_bin.tile_start,
+    )
+
+    with _interp():
+        packed, _ = jax.jit(
+            lambda p: rasterize_pallas.rasterize_tiles_fast(p, gx, gy, 4096)
+        )(pre)
+    packed = np.asarray(packed)  # [T, 256, 16]
+
+    T1 = gx * gy
+    np.testing.assert_allclose(
+        packed[:, :, 0:3], np.asarray(ref.color)[:T1], rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        packed[:, :, 3], np.asarray(ref.depth)[:T1], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        packed[:, :, 4], np.asarray(ref.median_depth)[:T1], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        packed[:, :, 5], np.asarray(ref.median_weight)[:T1], rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        packed[:, :, 6].astype(np.int32), np.asarray(ref.median_id)[:T1].astype(np.int32)
+    )
+    np.testing.assert_allclose(
+        packed[:, :, 7], np.asarray(ref.final_T)[:T1], rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        packed[:, :, 8].astype(np.int32), np.asarray(ref.n_contrib)[:T1]
+    )

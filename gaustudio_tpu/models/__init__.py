@@ -7,4 +7,4 @@ register = _registry.register
 make = _registry.make
 keys = _registry.keys
 
-from gaustudio_tpu.models import vanilla, general, mip, sap  # noqa: E402,F401
+from gaustudio_tpu.models import vanilla, general, mip, sap, scaffold  # noqa: E402,F401

@@ -1,0 +1,148 @@
+"""ScaffoldPointCloud — Scaffold-GS anchor model with neural decoders.
+
+Port of gaustudio/models/scaffold_sg.py:11-198: anchors carry offsets + a
+32-d feature; per-view MLP heads decode opacity (tanh), covariance
+(sigmoid-scaled scale + quat) and color for k offset Gaussians per anchor.
+The torch ``nn.Sequential`` heads become functional jnp MLPs with explicit
+parameter pytrees (so they train under optax and cross jit boundaries).
+The reference file's latent bugs (``self,config`` typo :42, 3-dim scale
+attr used as 6-dim) are fixed per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaustudio_tpu import models
+from gaustudio_tpu.models.base import BasePointCloud
+from gaustudio_tpu.models.utils import get_activation
+
+
+def _init_linear(key, n_in, n_out):
+    k1, _ = jax.random.split(key)
+    bound = 1.0 / np.sqrt(n_in)
+    w = jax.random.uniform(k1, (n_in, n_out), minval=-bound, maxval=bound)
+    return {"w": w, "b": jnp.zeros((n_out,))}
+
+
+def mlp_apply(params, x, final_act=None):
+    h = x @ params[0]["w"] + params[0]["b"]
+    h = jnp.maximum(h, 0.0)
+    out = h @ params[1]["w"] + params[1]["b"]
+    if final_act == "tanh":
+        return jnp.tanh(out)
+    if final_act == "sigmoid":
+        return jax.nn.sigmoid(out)
+    if final_act == "softmax":
+        return jax.nn.softmax(out, axis=1)
+    return out
+
+
+@models.register("scaffold_pcd")
+class ScaffoldPointCloud(BasePointCloud):
+    default_conf = {
+        "sh_degree": 3,
+        "attributes": {
+            "anchor": 3,
+            "offset": 3,  # times n_offsets (stored flat [N, 3*k])
+            "anchor_feat": 32,
+            "opacity": 1,
+            "scale": 6,  # [:3] offset scaling, [3:] gaussian scale base
+            "rot": 4,
+        },
+        "activations": {"scale": "exp", "opacity": "sigmoid", "rot": "normalize"},
+        "n_offsets": 10,
+        "voxel_size": 0.001,
+        "update_depth": 3,
+        "update_init_factor": 16,
+        "update_hierachy_factor": 4,
+        "use_feat_bank": False,
+    }
+
+    def __init__(self, config=None, device=None) -> None:
+        super().__init__(config, device)
+        self.active_sh_degree = 0
+        self.max_sh_degree = self.config["sh_degree"]
+        self.feat_dim = self.config["attributes"]["anchor_feat"]
+        self.n_offsets = self.config["n_offsets"]
+        self.voxel_size = self.config["voxel_size"]
+        self.update_depth = self.config["update_depth"]
+        self.update_init_factor = self.config["update_init_factor"]
+        self.update_hierachy_factor = self.config["update_hierachy_factor"]
+        self.use_feat_bank = self.config["use_feat_bank"]
+
+        key = jax.random.PRNGKey(self.config.get("seed", 0))
+        ks = jax.random.split(key, 8)
+        fd, k = self.feat_dim, self.n_offsets
+        self.mlp_params: Dict = {
+            "opacity": [_init_linear(ks[0], fd + 3 + 1, fd), _init_linear(ks[1], fd, k)],
+            "cov": [_init_linear(ks[2], fd + 3 + 1, fd), _init_linear(ks[3], fd, 7 * k)],
+            "color": [_init_linear(ks[4], fd + 3 + 1, fd), _init_linear(ks[5], fd, 3 * k)],
+        }
+        if self.use_feat_bank:
+            self.mlp_params["feature_bank"] = [
+                _init_linear(ks[6], 3 + 1, fd), _init_linear(ks[7], fd, 3)
+            ]
+
+        resume_path = self.config.get("resume_path", None)
+        if resume_path is not None:
+            print("Resuming pointcloud")
+            self.load(resume_path)
+
+    def get_attribute(self, attribute):
+        if attribute in self.config.get("activations", {}):
+            act = get_activation(self.config["activations"][attribute])
+            return act(jnp.asarray(getattr(self, "_" + attribute)))
+        return jnp.asarray(getattr(self, "_" + attribute))
+
+    # -- neural heads ---------------------------------------------------------
+    def mlp_opacity(self, x):
+        return mlp_apply(self.mlp_params["opacity"], x, "tanh")
+
+    def mlp_cov(self, x):
+        return mlp_apply(self.mlp_params["cov"], x)
+
+    def mlp_color(self, x):
+        return mlp_apply(self.mlp_params["color"], x, "sigmoid")
+
+    def mlp_feature_bank(self, x):
+        return mlp_apply(self.mlp_params["feature_bank"], x, "softmax")
+
+    # -- construction ---------------------------------------------------------
+    def voxelize_sample(self, points, voxel_size=None):
+        """scaffold_sg.py:122-126: dedup points to voxel centers."""
+        vs = voxel_size or self.voxel_size
+        pts = np.asarray(points)
+        keys = np.round(pts / vs).astype(np.int64)
+        _, idx = np.unique(keys, axis=0, return_index=True)
+        return (keys[np.sort(idx)] * vs).astype(np.float32)
+
+    def create_from_attribute(self, xyz, rgb=None, **kwargs):
+        anchors = self.voxelize_sample(xyz)
+        n = len(anchors)
+        k = self.n_offsets
+        self._anchor = anchors
+        self._offset = np.zeros((n, 3 * k), np.float32)
+        self._anchor_feat = np.zeros((n, self.feat_dim), np.float32)
+        self._opacity = np.zeros((n, 1), np.float32)
+        scale_init = np.log(max(self.voxel_size, 1e-4))
+        self._scale = np.full((n, 6), scale_init, np.float32)
+        self._rot = np.zeros((n, 4), np.float32)
+        self._rot[:, 0] = 1.0
+        self.num_points = n
+
+    @property
+    def get_anchor(self):
+        return jnp.asarray(self._anchor)
+
+    def params(self):
+        base = {
+            elem: jnp.asarray(getattr(self, "_" + elem))
+            for elem in self.config["attributes"]
+        }
+        base["mlps"] = self.mlp_params
+        return base

@@ -13,10 +13,11 @@ XLA-TPU's slow gather lowering: ~600ms searchsorted + ~300ms gathers at
      block touches a contiguous <=256-row window of the gaussian table,
      which is DMA'd once and selected with an MXU one-hot matmul — no
      random gather;
-  4. a single stable (tile,) radix sort of (tile, slot) yields the final
-     permutation; entry attributes are *scattered* (fast on TPU) into a
-     tile-range-aligned [num_blocks, 16, 256] attribute-major layout that
-     the Pallas compositor streams with aligned DMA.
+  4. one stable (tile,) sort carries all 16 attribute columns as payload
+     operands (XLA variadic sort is bandwidth-efficient; random scatters are
+     ~10x slower on TPU), yielding a contiguous (tile, depth)-ordered entry
+     stream reshaped to [num_blocks, 16, 256]; tile ranges are unaligned and
+     the compositor masks boundary lanes.
 
 Entry attribute rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
 6:r 7:g 8:b 9:depth 10:gaussian_id 11:valid 12-15:pad.
@@ -41,8 +42,9 @@ NUM_ATTRS = 16
 
 class BinnedBlocks(NamedTuple):
     entry_blocks: jnp.ndarray  # [NB, 16, BLOCK] f32 attr-major entry data
-    tile_first_block: jnp.ndarray  # [T] int32 index of tile's first block
+    tile_start: jnp.ndarray  # [T] int32 first entry index of each tile
     tile_count: jnp.ndarray  # [T] int32 real entries per tile
+    sorted_tile: jnp.ndarray  # [K] int32 tile id per sorted entry (backward)
     num_rendered: jnp.ndarray  # [] int32
 
 
@@ -208,67 +210,37 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     slot_valid = slot_valid & (expanded[:, 11] > 0.5)
     tile = jnp.where(slot_valid, tile, num_tiles)
 
-    # 4. aligned tile ranges + final positions via one stable K sort
+    # 4. one stable sort by tile carrying all attribute payloads
+    cols = tuple(expanded[:, a] for a in range(NUM_ATTRS))
+    sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
+    sort_tile = sorted_ops[0]
+    nb = K // BLOCK
+    entry_blocks = jnp.stack(
+        [c.reshape(nb, BLOCK) for c in sorted_ops[1:]], axis=1
+    )  # [NB, 16, BLOCK]
+
     hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile].add(1)
     tile_count = hist[:num_tiles]
-    blocks_per_tile = (tile_count + BLOCK - 1) // BLOCK
-    tile_first_block = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(blocks_per_tile)[:-1].astype(jnp.int32)]
+    tile_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_count)[:-1].astype(jnp.int32)]
     )
-    # aligned layout capacity: every tile can waste < 1 block of padding;
-    # rounded up so the flat length divides the backward's chunk size
-    nb_out = -((K // BLOCK + num_tiles) // -16) * 16
-
-    sort_tile, sort_slot = jax.lax.sort(
-        (tile, slot), num_keys=1, is_stable=True
-    )
-    # rank within tile = position - first position of the tile run; compute
-    # from the sorted stream: first_pos via cummax over run starts
-    pos_idx = jnp.arange(K, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones(1, bool), sort_tile[1:] != sort_tile[:-1]]
-    )
-    run_start = jax.lax.cummax(jnp.where(is_start, pos_idx, -1))
-    rank = pos_idx - run_start
-    dest = jnp.where(
-        sort_tile < num_tiles,
-        tile_first_block[jnp.minimum(sort_tile, num_tiles - 1)] * BLOCK + rank,
-        K,
-    )
-    # scatter destination back to slot order, then scatter data to layout
-    dest_by_slot = jnp.zeros((K,), jnp.int32).at[sort_slot].set(dest, mode="drop")
-
-    cap = nb_out * BLOCK
-    entry_flat = jnp.zeros((cap, NUM_ATTRS), jnp.float32)
-    dst = jnp.where(slot_valid & (dest_by_slot < cap), dest_by_slot, cap)
-    entry_flat = entry_flat.at[dst].set(expanded[:, :NUM_ATTRS], mode="drop")
-    entry_blocks = entry_flat.reshape(nb_out, BLOCK, NUM_ATTRS).transpose(0, 2, 1)
 
     return BinnedBlocks(
         entry_blocks=entry_blocks,
-        tile_first_block=tile_first_block,
+        tile_start=tile_start,
         tile_count=tile_count,
+        sorted_tile=sort_tile,
         num_rendered=total,
     )
 
 
 def compat_arrays(binned: BinnedBlocks, grid_x: int, grid_y: int):
-    """Flatten the aligned block layout into rasterize_ref-style entry arrays
+    """Flatten the sorted block layout into rasterize_ref-style entry arrays
     (gid, tile, valid, tile_start) so the XLA reverse-walk backward can run
     against the Pallas forward's binning."""
     num_tiles = grid_x * grid_y
-    nb = binned.entry_blocks.shape[0]
     flat = binned.entry_blocks.transpose(0, 2, 1).reshape(-1, NUM_ATTRS)
     gid = flat[:, 10].astype(jnp.int32)
-    valid = flat[:, 11] > 0.5
-
-    # tile of each block: scatter tile ids at their first blocks, cummax-fill
-    used = binned.tile_count > 0
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    put = jnp.where(used, binned.tile_first_block, nb)
-    tb = jnp.full((nb,), -1, jnp.int32).at[put].max(tids, mode="drop")
-    tb = jax.lax.cummax(tb)
-    tile = jnp.repeat(tb, BLOCK)
-    tile = jnp.where(valid, jnp.maximum(tile, 0), num_tiles)
-    tile_start = binned.tile_first_block * BLOCK
-    return gid, tile, valid, tile_start
+    tile = binned.sorted_tile
+    valid = (flat[:, 11] > 0.5) & (tile < num_tiles)
+    return gid, tile, valid, binned.tile_start

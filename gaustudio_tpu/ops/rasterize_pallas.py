@@ -39,12 +39,13 @@ _MEDIAN_DEFAULT = 15.0
 NUM_OUT = 16
 
 
-def _composite_kernel(first_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
+def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int):
     t = pl.program_id(0)
-    first_block = first_ref[t]
+    start = start_ref[t]
     count = count_ref[t]
-    n_blocks = (count + BLOCK - 1) // BLOCK
+    b0 = start // BLOCK
+    n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
 
     tx = (t % grid_x).astype(jnp.float32)
     ty = (t // grid_x).astype(jnp.float32)
@@ -56,7 +57,7 @@ def _composite_kernel(first_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
     def get_dma(slot, blk_idx):
         return pltpu.make_async_copy(
-            blocks_hbm.at[first_block + blk_idx],
+            blocks_hbm.at[b0 + blk_idx],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -111,7 +112,8 @@ def _composite_kernel(first_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         Ge = jnp.exp(jnp.minimum(power, 0.0))
         alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-        in_range = (c * BLOCK + lane) < count
+        pos = (b0 + c) * BLOCK + lane - start  # position within the tile
+        in_range = (pos >= 0) & (pos < count)
         alpha = jnp.where(
             (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
             0.0,
@@ -148,7 +150,7 @@ def _composite_kernel(first_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         )
         mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 1, keepdims=True), mi)
 
-        pos1 = (c * BLOCK + lane + 1).astype(jnp.float32)
+        pos1 = (pos + 1).astype(jnp.float32)
         nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 1, keepdims=True))
 
         return (c + 1, T, r, g, b, d, md, mw, mi, nc)
@@ -188,7 +190,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int):
         kernel,
         out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, NUM_OUT), jnp.float32),
         grid_spec=grid_spec,
-    )(binned.tile_first_block, binned.tile_count, binned.entry_blocks)
+    )(binned.tile_start, binned.tile_count, binned.entry_blocks)
 
 
 def rasterize_tiles_fast(pre, grid_x: int, grid_y: int, num_entries: int):

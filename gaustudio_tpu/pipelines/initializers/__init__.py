@@ -6,3 +6,7 @@ _registry = Registry("initializers")
 register = _registry.register
 make = _registry.make
 keys = _registry.keys
+
+from gaustudio_tpu.pipelines.initializers import (  # noqa: E402,F401
+    base, pcd, depth, gaussiansky, mesh, mask, colmap,
+)

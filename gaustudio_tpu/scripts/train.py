@@ -1,0 +1,102 @@
+"""gs-train: full 3DGS training (the loop the reference leaves unimplemented).
+
+Trains a vanilla Gaussian model on a COLMAP / nerf / vanilla dataset and
+writes the Inria checkpoint layout (point_cloud/iteration_N/point_cloud.ply
++ cameras.json) that every other gs-* tool consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="vanilla")
+    parser.add_argument("--gpu", default="0", help="CLI parity (unused on TPU)")
+    parser.add_argument("--source_path", "-s", required=True)
+    parser.add_argument("--output-dir", "-o", required=True)
+    parser.add_argument("--iterations", default=30000, type=int)
+    parser.add_argument("--resolution", default=1, type=int)
+    parser.add_argument("--dataset", default="colmap",
+                        help="dataset registry name (colmap/nerf/vanilla/...)")
+    parser.add_argument("--white_background", action="store_true")
+    parser.add_argument("--save_every", default=7000, type=int)
+    parser.add_argument("--seed", default=42, type=int)
+    args, extras = parser.parse_known_args()
+
+    import numpy as np
+
+    from gaustudio_tpu import datasets, models
+    from gaustudio_tpu.config import builtin_config_path, load_config
+    from gaustudio_tpu.pipelines import train as T
+    from gaustudio_tpu.utils.ply import fetch_ply
+
+    config_path = args.config if os.path.exists(args.config) else builtin_config_path(args.config)
+    config = load_config(config_path, cli_args=extras)
+
+    dataset = datasets.make(
+        {"name": args.dataset, "source_path": args.source_path,
+         "resolution": args.resolution}
+    )
+    if args.resolution > 1 and args.dataset != "colmap":
+        dataset.downsample_scale(args.resolution)
+
+    pcd = models.make(config["model"]["pointcloud"])
+    sparse_ply = os.path.join(args.source_path, "sparse", "0", "points3D.ply")
+    if os.path.exists(sparse_ply):
+        xyz, rgb, _ = fetch_ply(sparse_ply)
+        pcd.create_from_attribute(xyz=xyz, rgb=rgb)
+    else:
+        # fall back to COLMAP points3D.bin or random init in the scene box
+        bin_path = os.path.join(args.source_path, "sparse", "0", "points3D.bin")
+        if os.path.exists(bin_path):
+            from gaustudio_tpu.datasets.utils import read_points3D_binary
+
+            xyz, rgb, _ = read_points3D_binary(bin_path)
+            pcd.create_from_attribute(xyz=xyz, rgb=rgb / 255.0)
+        else:
+            print("No sparse points found; random init of 50k points")
+            rng = np.random.default_rng(args.seed)
+            r = dataset.cameras_extent
+            xyz = rng.uniform(-r / 2, r / 2, (50000, 3)).astype(np.float32)
+            pcd.create_from_attribute(xyz=xyz, rgb=np.full((50000, 3), 0.5, np.float32))
+
+    tr_conf = config.get("trainer", {})
+    cfg = T.TrainConfig(
+        iterations=args.iterations,
+        lambda_dssim=float(tr_conf.get("lambda_dssim", 0.2)),
+        densify_from_iter=int(tr_conf.get("densify_from_iter", 500)),
+        densify_until_iter=int(tr_conf.get("densify_until_iter", 15000)),
+        densification_interval=int(tr_conf.get("densification_interval", 100)),
+        densify_grad_threshold=float(tr_conf.get("densify_grad_threshold", 0.0002)),
+        opacity_reset_interval=int(tr_conf.get("opacity_reset_interval", 3000)),
+        percent_dense=float(tr_conf.get("percent_dense", 0.01)),
+        white_background=args.white_background,
+    )
+    trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
+
+    def save(iteration):
+        out = os.path.join(args.output_dir, "point_cloud", f"iteration_{iteration}")
+        os.makedirs(out, exist_ok=True)
+        T.state_to_model(trainer.state, pcd)
+        pcd.export(os.path.join(out, "point_cloud.ply"))
+        dataset.export(os.path.join(args.output_dir, "cameras.json"))
+
+    def log(m):
+        print(
+            f"iter {m['iter']:6d}  loss {m['loss']:.4f}  psnr {m['psnr']:.2f}  "
+            f"points {int(m['num_points'])}",
+            flush=True,
+        )
+        if m["iter"] % args.save_every == 0:
+            save(m["iter"])
+
+    trainer.train(iterations=args.iterations, log_every=100, callback=log)
+    save(args.iterations)
+    print(f"Training done -> {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Initializer registry tests."""
+
+import numpy as np
+import pytest
+
+from gaustudio_tpu import models
+from gaustudio_tpu.cameras import camera_paths
+from gaustudio_tpu.pipelines import initializers
+from gaustudio_tpu.utils.ply import store_ply
+
+
+def test_registry_names():
+    for name in ["pcd", "depth", "mesh", "voxel", "tsdf", "VisualHull",
+                 "gaussiansky", "multigaussiansky", "colmap", "hloc",
+                 "loftr", "dust3r"]:
+        assert name in initializers._registry, name
+
+
+def test_pcd_initializer(tmp_path):
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    rgb = (rng.uniform(size=(100, 3)) * 255).astype(np.uint8)
+    normals = rng.normal(size=(100, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    p = str(tmp_path / "cloud.ply")
+    store_ply(p, xyz, rgb, normals)
+
+    init = initializers.make({"name": "pcd", "model_path": p})
+    model = init(models.make({"name": "vanilla_pcd"}))
+    assert model.num_points == 100
+    np.testing.assert_allclose(np.asarray(model._xyz), xyz, rtol=1e-6)
+    # normals became unit quaternions
+    q = np.asarray(model._rot)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=2e-2)
+
+
+def test_gaussiansky_initializer():
+    init = initializers.make({"name": "gaussiansky", "resolution": 20,
+                              "radius": 50.0})
+    model = init(models.make({"name": "vanilla_pcd"}))
+    assert model.num_points == 400
+    r = np.linalg.norm(np.asarray(model._xyz), axis=1)
+    np.testing.assert_allclose(r, 50.0, rtol=1e-4)
+
+    multi = initializers.make({"name": "multigaussiansky", "resolution": 10,
+                               "radii": [10.0, 20.0]})
+    model2 = multi(models.make({"name": "vanilla_pcd"}))
+    assert model2.num_points == 200
+
+
+def _box_mesh():
+    # unit cube surface
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                 np.float32)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ], np.int64)
+    return v, f
+
+
+@pytest.mark.parametrize("npg", [1, 3, 4, 6])
+def test_mesh_initializer(npg):
+    v, f = _box_mesh()
+    init = initializers.make({"name": "mesh", "n_gaussians_per_triangle": npg})
+    model = init(models.make({"name": "vanilla_pcd"}), mesh=(v, f))
+    assert model.num_points == len(f) * npg
+    # all points on the cube surface
+    pts = np.asarray(model._xyz)
+    on_face = ((np.abs(pts) < 1e-5) | (np.abs(pts - 1) < 1e-5)).any(axis=1)
+    assert on_face.all()
+    # flat z scale
+    scales = np.asarray(model._scale)
+    assert (scales[:, 2] < -10).all()
+
+
+def test_voxel_initializer():
+    v, f = _box_mesh()
+    init = initializers.make({"name": "voxel", "voxel_size": 0.25})
+    model = init(models.make({"name": "vanilla_pcd"}), mesh=(v, f))
+    assert model.num_points > 50
+    pts = np.asarray(model._xyz)
+    assert pts.min() > -0.3 and pts.max() < 1.3
+
+
+def test_visual_hull_initializer():
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 3.0, num_cam=8,
+                                            image_size=64, fov_deg=40)
+    # circular masks => hull approximates a sphere
+    yy, xx = np.mgrid[0:64, 0:64]
+    mask = (((xx - 32) ** 2 + (yy - 32) ** 2) < 20**2).astype(np.float32)
+    for c in cams:
+        c.mask = mask
+    init = initializers.make({"name": "VisualHull", "resolution": 48,
+                              "radius_scale": 0.4})
+    model = init(models.make({"name": "vanilla_pcd"}), cams)
+    assert model.num_points > 100
+    r = np.linalg.norm(np.asarray(model._xyz), axis=1)
+    assert r.max() < 2.0
+
+
+def test_external_stub_raises():
+    init = initializers.make({"name": "dust3r"})
+    with pytest.raises(ImportError):
+        init(models.make({"name": "vanilla_pcd"}))

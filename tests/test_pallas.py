@@ -54,18 +54,16 @@ def test_fast_binning_matches_reference(preprocessed):
     ref_gid = np.asarray(ref.gauss_id)
     ref_start = np.asarray(ref.tile_start)
     ref_count = np.asarray(ref.tile_count)
-    blocks = np.asarray(fast.entry_blocks)  # [NB, 16, 256]
-    first = np.asarray(fast.tile_first_block)
+    flat = np.asarray(fast.entry_blocks).transpose(0, 2, 1).reshape(-1, 16)
+    start = np.asarray(fast.tile_start)
     for t in range(gx * gy):
         cnt = ref_count[t]
         if cnt == 0:
             continue
         want = ref_gid[ref_start[t] : ref_start[t] + cnt]
-        flat = blocks[first[t] :].transpose(0, 2, 1).reshape(-1, 16)
-        got = flat[:cnt, 10].astype(np.int32)
+        got = flat[start[t] : start[t] + cnt, 10].astype(np.int32)
         np.testing.assert_array_equal(got, want, err_msg=f"tile {t}")
-        # validity flags set
-        assert (flat[:cnt, 11] > 0.5).all()
+        assert (flat[start[t] : start[t] + cnt, 11] > 0.5).all()
 
 
 def test_pallas_composite_matches_reference(preprocessed):

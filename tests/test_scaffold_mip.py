@@ -1,0 +1,64 @@
+"""Scaffold + mip model/renderer smoke tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gaustudio_tpu import models, renderers
+from gaustudio_tpu.cameras import Camera
+
+
+def _cam(w=48, h=48):
+    return Camera(R=np.eye(3), T=np.array([0.0, 0.0, 3.0]), FoVx=1.0, FoVy=1.0,
+                  image_width=w, image_height=h)
+
+
+def test_scaffold_model_and_renderer():
+    rng = np.random.default_rng(0)
+    model = models.make({"name": "scaffold_pcd", "n_offsets": 4,
+                         "voxel_size": 0.1})
+    pts = rng.normal(size=(500, 3)).astype(np.float32) * 0.4
+    model.create_from_attribute(xyz=pts)
+    assert model.num_points > 10
+    # offsets get some spread so gaussians aren't all at anchors
+    model._offset = rng.normal(size=model._offset.shape).astype(np.float32) * 0.1
+    model._anchor_feat = rng.normal(size=model._anchor_feat.shape).astype(np.float32)
+
+    r = renderers.make({"name": "scaffold_renderer"})
+    out = r.render(_cam(), model)
+    img = np.asarray(out["render"])
+    assert img.shape == (3, 48, 48)
+    assert np.isfinite(img).all()
+
+
+def test_scaffold_voxelize():
+    model = models.make({"name": "scaffold_pcd", "voxel_size": 0.5})
+    pts = np.array([[0.0, 0, 0], [0.01, 0, 0], [1.0, 0, 0]], np.float32)
+    v = model.voxelize_sample(pts, 0.5)
+    assert len(v) == 2
+
+
+def test_mip_filter_and_render():
+    rng = np.random.default_rng(1)
+    pcd = models.make({"name": "mip_pcd"})
+    n = 60
+    pcd.create_from_attribute(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32) * 0.3,
+        rgb=rng.uniform(size=(n, 3)).astype(np.float32),
+    )
+    pcd.active_sh_degree = 0
+    cam = _cam()
+    f = pcd.compute_3D_filter([cam])
+    assert f.shape == (n, 1)
+    assert (f > 0).all()
+    # filtered opacity <= raw opacity
+    raw = np.asarray(pcd.get_attribute("opacity"))
+    filt = np.asarray(pcd.get_opacity_with_3D_filter)
+    assert (filt <= raw + 1e-6).all()
+    # filtered scales >= raw scales
+    s_raw = np.exp(np.asarray(pcd._scale))
+    s_f = np.asarray(pcd.get_scaling_with_3D_filter)
+    assert (s_f >= s_raw - 1e-6).all()
+
+    r = renderers.make({"name": "mip_renderer"})
+    out = r.render(cam, pcd)
+    assert np.isfinite(np.asarray(out["render"])).all()

@@ -42,17 +42,19 @@ def count_entries(tiles_touched) -> jnp.ndarray:
     return jnp.sum(tiles_touched)
 
 
-def bucket_capacity(total: int, minimum: int = 4096) -> int:
-    """Round a measured entry count up to the next power of two.
+def bucket_capacity(total: int, minimum: int = 4096, growth: float = 1.3,
+                    quantum: int = 2048) -> int:
+    """Round a measured entry count up to a geometric bucket.
 
     Host-side helper: keeps the number of distinct compiled shapes
     logarithmic in scene size (the padding/bucketing discipline from
-    SURVEY.md §7 hard-part 2).
+    SURVEY.md §7 hard-part 2) while wasting at most ``growth``-1 capacity.
+    Buckets are multiples of ``quantum`` (the fast path's BLOCK * SUPER).
     """
     cap = minimum
     while cap < total:
-        cap *= 2
-    return cap
+        cap = int(cap * growth)
+    return -(-cap // quantum) * quantum
 
 
 def bin_gaussians(pre: Preprocessed, grid_x: int, grid_y: int, num_entries: int) -> Binned:

@@ -65,22 +65,34 @@ def build_cov3d(scale, scale_modifier, quat, normalize_quat: bool = False):
     build_covariance_from_scaling_rotation (gaustudio/models/utils.py:93-97).
     ``normalize_quat`` defaults to False to mirror the kernel's quirk
     (forward.cu:127 — normalization is commented out upstream).
+
+    Written in structure-of-scalars form: every intermediate is an [N]
+    vector, so XLA lays the work out along full 128-lane tiles instead of
+    3-lane-wide [N,3,3] arrays.
     """
-    R = quat_to_rotmat(quat, normalize=normalize_quat)
-    s = scale_modifier * scale  # [..., 3]
-    M = R * s[..., None, :]  # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)
-    return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
-        axis=-1,
-    )
+    if normalize_quat:
+        quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+    r, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    R00 = 1.0 - 2.0 * (y * y + z * z)
+    R01 = 2.0 * (x * y - r * z)
+    R02 = 2.0 * (x * z + r * y)
+    R10 = 2.0 * (x * y + r * z)
+    R11 = 1.0 - 2.0 * (x * x + z * z)
+    R12 = 2.0 * (y * z - r * x)
+    R20 = 2.0 * (x * z - r * y)
+    R21 = 2.0 * (y * z + r * x)
+    R22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = (scale_modifier * scale[..., 0]) ** 2
+    s1 = (scale_modifier * scale[..., 1]) ** 2
+    s2 = (scale_modifier * scale[..., 2]) ** 2
+    # Σ_ij = sum_k R_ik R_jk s_k
+    c_xx = R00 * R00 * s0 + R01 * R01 * s1 + R02 * R02 * s2
+    c_xy = R00 * R10 * s0 + R01 * R11 * s1 + R02 * R12 * s2
+    c_xz = R00 * R20 * s0 + R01 * R21 * s1 + R02 * R22 * s2
+    c_yy = R10 * R10 * s0 + R11 * R11 * s1 + R12 * R12 * s2
+    c_yz = R10 * R20 * s0 + R11 * R21 * s1 + R12 * R22 * s2
+    c_zz = R20 * R20 * s0 + R21 * R21 * s1 + R22 * R22 * s2
+    return jnp.stack([c_xx, c_xy, c_xz, c_yy, c_yz, c_zz], axis=-1)
 
 
 def transform_points(points, mat4):
@@ -117,30 +129,40 @@ def compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatr
 
     W = viewmatrix[:3, :3]  # rows are world-axis images => W2V rotation transposed
     # world->view rotation R_wv acts as v = p @ W  =>  R_wv = W^T
-    Rwv = W.T  # [3,3]
+    Rwv = W.T  # [3,3] per-frame constant
 
     # V = R_wv Σ R_wvᵀ, then cov2d = J V Jᵀ with the 2x3 J above.
-    c = cov3d
-    sigma = jnp.stack(
-        [
-            jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
-            jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
-            jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
-        ],
-        axis=-2,
-    )  # [..., 3, 3]
-    V = jnp.einsum("ij,...jk,lk->...il", Rwv, sigma, Rwv)
+    # Structure-of-scalars: [N]-vector intermediates only (no [N,3,3]).
+    c0, c1, c2 = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    c3, c4, c5 = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
 
-    # rows of J per gaussian
-    zero = jnp.zeros_like(j00)
-    Jr0 = jnp.stack([j00, zero, j02], -1)  # [..., 3]
-    Jr1 = jnp.stack([zero, j11, j12], -1)
+    def sigma_row(a, b, cc):  # Σ @ r for constant r = (a, b, cc)
+        return (
+            c0 * a + c1 * b + c2 * cc,
+            c1 * a + c3 * b + c4 * cc,
+            c2 * a + c4 * b + c5 * cc,
+        )
 
-    vJ0 = jnp.einsum("...ij,...j->...i", V, Jr0)
-    vJ1 = jnp.einsum("...ij,...j->...i", V, Jr1)
-    cxx = jnp.einsum("...i,...i->...", Jr0, vJ0) + 0.3
-    cxy = jnp.einsum("...i,...i->...", Jr0, vJ1)
-    cyy = jnp.einsum("...i,...i->...", Jr1, vJ1) + 0.3
+    # V_ij = R_i Σ R_jᵀ with constant rows R_i of Rwv
+    r0, r1, r2 = Rwv[0], Rwv[1], Rwv[2]
+    s0 = sigma_row(r0[0], r0[1], r0[2])
+    s1 = sigma_row(r1[0], r1[1], r1[2])
+    s2 = sigma_row(r2[0], r2[1], r2[2])
+
+    def dotr(s, r):
+        return s[0] * r[0] + s[1] * r[1] + s[2] * r[2]
+
+    V00 = dotr(s0, r0)
+    V01 = dotr(s0, r1)
+    V02 = dotr(s0, r2)
+    V11 = dotr(s1, r1)
+    V12 = dotr(s1, r2)
+    V22 = dotr(s2, r2)
+
+    # J rows (per-gaussian scalars): Jr0 = (j00, 0, j02), Jr1 = (0, j11, j12)
+    cxx = j00 * (V00 * j00 + V02 * j02) + j02 * (V02 * j00 + V22 * j02) + 0.3
+    cxy = j00 * (V01 * j11 + V02 * j12) + j02 * (V12 * j11 + V22 * j12)
+    cyy = j11 * (V11 * j11 + V12 * j12) + j12 * (V12 * j11 + V22 * j12) + 0.3
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 

@@ -192,7 +192,7 @@ def suggest_num_entries(
     scales=None,
     rotations=None,
     cov3D_precomp=None,
-    margin: float = 1.25,
+    margin: float = 1.15,
     minimum: int = 4096,
 ) -> int:
     """Host-side capacity probe: measure the true intersection count for a

@@ -8,4 +8,4 @@ make = _registry.make
 keys = _registry.keys
 
 from gaustudio_tpu.cameras import Camera  # noqa: E402,F401  (reference exposes datasets.Camera)
-from gaustudio_tpu.datasets import colmap, vanilla, nerf  # noqa: E402,F401
+from gaustudio_tpu.datasets import colmap, vanilla, nerf, more_formats  # noqa: E402,F401

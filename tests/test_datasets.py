@@ -161,3 +161,73 @@ def test_colmap_text_readers(tmp_path):
     ims = dsu.read_extrinsics_text(tmp_path / "images.txt")
     assert ims[1].name == "a.png"
     np.testing.assert_allclose(ims[1].xys, [[1, 2], [3, 4]])
+
+
+def test_all_reference_formats_registered():
+    """Every dataset name the reference registers must exist here
+    (SURVEY.md §2.2 dataset loaders row)."""
+    expected = [
+        "colmap", "vanilla", "nerf", "rtmv", "navi", "kiri", "trellis",
+        "nerfstudio", "mushroom", "neus", "nisr", "nero", "nsvf",
+        "deepvoxels", "mvsnet", "scannet", "mobilebrick", "polycam", "waymo",
+    ]
+    for name in expected:
+        assert name in datasets._registry, name
+
+
+def test_nsvf_deepvoxels_loader(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "pose").mkdir()
+    (tmp_path / "intrinsics.txt").write_text("100.0 16.0 12.0 0\n")
+    for i in range(3):
+        img = (rng.uniform(size=(24, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "rgb" / f"0_train_{i:04d}.png")
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0, 0, 2 + i]
+        np.savetxt(tmp_path / "pose" / f"0_train_{i:04d}.txt", c2w)
+    ds = datasets.make({"name": "nsvf", "source_path": str(tmp_path)})
+    assert len(ds) == 3
+    assert ds[0].image.shape == (24, 32, 3)
+    assert abs(ds[0].intrinsics[0, 0] - 100.0) < 1e-5
+
+
+def test_nerfstudio_loader(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(3):
+        name = f"frame_{i:03d}.png"
+        img = (rng.uniform(size=(24, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / name)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [i * 0.3, 0, 2]
+        frames.append({
+            "file_path": name, "w": 32, "h": 24, "fl_x": 30.0, "fl_y": 30.0,
+            "cx": 16.0, "cy": 12.0, "transform_matrix": c2w.tolist(),
+        })
+    (tmp_path / "transforms.json").write_text(json.dumps({"frames": frames}))
+    ds = datasets.make({"name": "nerfstudio", "source_path": str(tmp_path)})
+    assert len(ds) == 3
+    assert ds[1].image.shape == (24, 32, 3)
+
+
+def test_scannet_loader(tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    for sub in ["color", "depth", "pose", "intrinsic"]:
+        (tmp_path / sub).mkdir()
+    intr = np.eye(4); intr[0, 0] = intr[1, 1] = 40.0; intr[0, 2] = 16; intr[1, 2] = 12
+    np.savetxt(tmp_path / "intrinsic" / "intrinsic_color.txt", intr)
+    for i in range(2):
+        img = (rng.uniform(size=(24, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "color" / f"{i}.jpg")
+        depth = (rng.uniform(500, 3000, (24, 32))).astype(np.uint16)
+        Image.fromarray(depth).save(tmp_path / "depth" / f"{i}.png")
+        c2w = np.eye(4); c2w[:3, 3] = [0, 0, i + 1.0]
+        np.savetxt(tmp_path / "pose" / f"{i}.txt", c2w)
+    ds = datasets.make({"name": "scannet", "source_path": str(tmp_path)})
+    assert len(ds) == 2
+    assert ds[0].depth is not None
+    assert 0.4 < float(np.asarray(ds[0].depth).mean()) < 3.1

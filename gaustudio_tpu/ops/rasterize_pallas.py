@@ -40,157 +40,176 @@ NUM_OUT = 16
 
 
 def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
-                      *, grid_x: int):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    count = count_ref[t]
-    b0 = start // BLOCK
-    n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
-
-    tx = (t % grid_x).astype(jnp.float32)
-    ty = (t // grid_x).astype(jnp.float32)
-    q = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
-    px = tx * TILE_X + (q % TILE_X).astype(jnp.float32)
-    py = ty * TILE_Y + (q // TILE_X).astype(jnp.float32)
-
+                      *, grid_x: int, tiles_per_prog: int):
+    g = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
+    qx = (q % TILE_X).astype(jnp.float32)
+    qy = (q // TILE_X).astype(jnp.float32)
 
-    def get_dma(slot, blk_idx):
-        return pltpu.make_async_copy(
-            blocks_hbm.at[b0 + blk_idx],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    def tile_body(i, _):
+        t = g * tiles_per_prog + i
+        start = start_ref[t]
+        count = count_ref[t]
+        b0 = start // BLOCK
+        n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
 
-    @pl.when(n_blocks > 0)
-    def _():
-        get_dma(0, 0).start()
+        tx = (t % grid_x).astype(jnp.float32)
+        ty = (t // grid_x).astype(jnp.float32)
+        px = tx * TILE_X + qx
+        py = ty * TILE_Y + qy
 
-    init = (
-        jnp.zeros((), jnp.int32),  # chunk index
-        jnp.ones((TILE_PIXELS, 1), jnp.float32),  # T
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # r
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # g
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # b
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # depth
-        jnp.full((TILE_PIXELS, 1), _MEDIAN_DEFAULT, jnp.float32),  # med_d
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_w
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_i
-        jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # n_contrib
-    )
+        def get_dma(slot, blk_idx):
+            return pltpu.make_async_copy(
+                blocks_hbm.at[b0 + blk_idx],
+                scratch.at[slot],
+                sems.at[slot],
+            )
 
-    def cond(state):
-        c, T = state[0], state[1]
-        return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
-
-    def body(state):
-        c, T, r, g, b, d, md, mw, mi, nc = state
-        slot = c % 2
-
-        @pl.when(c + 1 < n_blocks)
+        @pl.when(n_blocks > 0)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(slot, c).wait()
-        blk = scratch[slot]  # (16, BLOCK)
-
-        mx = blk[0:1, :]
-        my = blk[1:2, :]
-        ca = blk[2:3, :]
-        cb = blk[3:4, :]
-        cc = blk[4:5, :]
-        op = blk[5:6, :]
-        col_r = blk[6:7, :]
-        col_g = blk[7:8, :]
-        col_b = blk[8:9, :]
-        dep = blk[9:10, :]
-        gid = blk[10:11, :]
-        vld = blk[11:12, :]
-
-        dx = mx - px  # (256, 256)
-        dy = my - py
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        Ge = jnp.exp(jnp.minimum(power, 0.0))
-        alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-        pos = (b0 + c) * BLOCK + lane - start  # position within the tile
-        in_range = (pos >= 0) & (pos < count)
-        alpha = jnp.where(
-            (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
-            0.0,
-            alpha,
+        init = (
+            jnp.zeros((), jnp.int32),  # chunk index
+            jnp.ones((TILE_PIXELS, 1), jnp.float32),  # T
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # r
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # g
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # b
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # depth
+            jnp.full((TILE_PIXELS, 1), _MEDIAN_DEFAULT, jnp.float32),  # med_d
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_w
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_i
+            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # n_contrib
         )
 
-        # lane-axis inclusive prefix product (Hillis-Steele)
-        cum = 1.0 - alpha
-        for s in (1, 2, 4, 8, 16, 32, 64, 128):
-            shifted = pltpu.roll(cum, s, axis=1)
-            shifted = jnp.where(lane < s, 1.0, shifted)
-            cum = cum * shifted
+        def cond(state):
+            c, T = state[0], state[1]
+            return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
 
-        P_incl = T * cum
-        one_m = 1.0 - alpha
-        P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
-        applied = P_incl >= _TERM_EPS
-        w = jnp.where(applied, alpha * P_excl, 0.0)
+        def body(state):
+            c, T, r, gg, b, d, md, mw, mi, nc = state
+            slot = c % 2
 
-        r = r + jnp.sum(w * col_r, axis=1, keepdims=True)
-        g = g + jnp.sum(w * col_g, axis=1, keepdims=True)
-        b = b + jnp.sum(w * col_b, axis=1, keepdims=True)
-        d = d + jnp.sum(w * dep, axis=1, keepdims=True)
+            @pl.when(c + 1 < n_blocks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
 
-        T = jnp.minimum(
-            T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=1, keepdims=True)
-        )
+            get_dma(slot, c).wait()
+            blk = scratch[slot]  # (16, BLOCK)
 
-        cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
-        crossed = jnp.any(cross, axis=1, keepdims=True)
-        md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 1, keepdims=True), md)
-        mw = jnp.where(
-            crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 1, keepdims=True), mw
-        )
-        mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 1, keepdims=True), mi)
+            mx = blk[0:1, :]
+            my = blk[1:2, :]
+            ca = blk[2:3, :]
+            cb = blk[3:4, :]
+            cc = blk[4:5, :]
+            op = blk[5:6, :]
+            col_r = blk[6:7, :]
+            col_g = blk[7:8, :]
+            col_b = blk[8:9, :]
+            dep = blk[9:10, :]
+            gid = blk[10:11, :]
+            vld = blk[11:12, :]
 
-        pos1 = (pos + 1).astype(jnp.float32)
-        nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 1, keepdims=True))
+            dx = mx - px  # (256, 256)
+            dy = my - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            Ge = jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
+            pos = (b0 + c) * BLOCK + lane - start  # position within the tile
+            in_range = (pos >= 0) & (pos < count)
+            alpha = jnp.where(
+                (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
+                0.0,
+                alpha,
+            )
 
-        return (c + 1, T, r, g, b, d, md, mw, mi, nc)
+            # lane-axis inclusive prefix product (Hillis-Steele)
+            cum = 1.0 - alpha
+            for sft in (1, 2, 4, 8, 16, 32, 64, 128):
+                shifted = pltpu.roll(cum, sft, axis=1)
+                shifted = jnp.where(lane < sft, 1.0, shifted)
+                cum = cum * shifted
 
-    state = jax.lax.while_loop(cond, body, init)
-    _, T, r, g, b, d, md, mw, mi, nc = state
+            P_incl = T * cum
+            one_m = 1.0 - alpha
+            P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
+            applied = P_incl >= _TERM_EPS
+            w = jnp.where(applied, alpha * P_excl, 0.0)
 
-    out_ref[0, :, 0:1] = r
-    out_ref[0, :, 1:2] = g
-    out_ref[0, :, 2:3] = b
-    out_ref[0, :, 3:4] = d
-    out_ref[0, :, 4:5] = md
-    out_ref[0, :, 5:6] = mw
-    out_ref[0, :, 6:7] = mi
-    out_ref[0, :, 7:8] = T
-    out_ref[0, :, 8:9] = nc
-    out_ref[0, :, 9:16] = jnp.zeros((TILE_PIXELS, 7), jnp.float32)
+            r = r + jnp.sum(w * col_r, axis=1, keepdims=True)
+            gg = gg + jnp.sum(w * col_g, axis=1, keepdims=True)
+            b = b + jnp.sum(w * col_b, axis=1, keepdims=True)
+            d = d + jnp.sum(w * dep, axis=1, keepdims=True)
+
+            T = jnp.minimum(
+                T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=1, keepdims=True)
+            )
+
+            cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
+            crossed = jnp.any(cross, axis=1, keepdims=True)
+            md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 1, keepdims=True), md)
+            mw = jnp.where(
+                crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 1, keepdims=True), mw
+            )
+            mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 1, keepdims=True), mi)
+
+            pos1 = (pos + 1).astype(jnp.float32)
+            nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 1, keepdims=True))
+
+            return (c + 1, T, r, gg, b, d, md, mw, mi, nc)
+
+        state = jax.lax.while_loop(cond, body, init)
+        _, T, r, gg, b, d, md, mw, mi, nc = state
+
+        out_ref[i, :, 0:1] = r
+        out_ref[i, :, 1:2] = gg
+        out_ref[i, :, 2:3] = b
+        out_ref[i, :, 3:4] = d
+        out_ref[i, :, 4:5] = md
+        out_ref[i, :, 5:6] = mw
+        out_ref[i, :, 6:7] = mi
+        out_ref[i, :, 7:8] = T
+        out_ref[i, :, 8:9] = nc
+        out_ref[i, :, 9:16] = jnp.zeros((TILE_PIXELS, 7), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
 
 
-def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int):
-    """Run the tile compositor; returns packed [T, 256, 16] tile outputs."""
+def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
+                     tiles_per_prog: int = 16):
+    """Run the tile compositor; returns packed [T, 256, 16] tile outputs.
+
+    Each program handles ``tiles_per_prog`` tiles to amortize the ~5us
+    fixed per-program cost (measured: 8160 single-tile programs cost 39ms
+    even with zero entries).
+    """
     num_tiles = grid_x * grid_y
+    padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
+    pad = padded - num_tiles
+    tile_start = jnp.pad(binned.tile_start, (0, pad))
+    tile_count = jnp.pad(binned.tile_count, (0, pad))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(padded // tiles_per_prog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, TILE_PIXELS, NUM_OUT), lambda t, f, c: (t, 0, 0)
+            (tiles_per_prog, TILE_PIXELS, NUM_OUT), lambda t, f, c: (t, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ATTRS, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = partial(_composite_kernel, grid_x=grid_x)
-    return pl.pallas_call(
+    kernel = partial(_composite_kernel, grid_x=grid_x,
+                     tiles_per_prog=tiles_per_prog)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, NUM_OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded, TILE_PIXELS, NUM_OUT), jnp.float32),
         grid_spec=grid_spec,
-    )(binned.tile_start, binned.tile_count, binned.entry_blocks)
+    )(tile_start, tile_count, binned.entry_blocks)
+    return out[:num_tiles]
 
 
 def rasterize_tiles_fast(pre, grid_x: int, grid_y: int, num_entries: int):

@@ -390,6 +390,7 @@ class Trainer:
         self.state = init_state(pcd)
         self.pcd = pcd
         self.key = jax.random.PRNGKey(seed)
+        self.chunk = chunk
         cam0 = self.cameras[0]
         self.H, self.W = int(cam0.image_height), int(cam0.image_width)
         if num_entries is None:
@@ -404,7 +405,6 @@ class Trainer:
                 margin=4.0,
             )
         self.num_entries = num_entries
-        self.chunk = chunk
 
     def _settings(self, num_entries) -> RasterizeSettings:
         cam0 = self.cameras[0]

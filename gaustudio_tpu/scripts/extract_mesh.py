@@ -69,7 +69,10 @@ def main():
         raise SystemExit(f"Model not found at {model_path}")
 
     if args.source_path is None:
-        args.source_path = os.path.join(os.path.dirname(model_path), "cameras.json")
+        args.source_path = os.path.join(
+            model_path if os.path.isdir(model_path) else os.path.dirname(model_path),
+            "cameras.json",
+        )
 
     if args.source_path.endswith(".json"):
         print(f"Loading camera data from {args.source_path}")

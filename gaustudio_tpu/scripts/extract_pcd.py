@@ -62,7 +62,10 @@ def main():
         output_pcd_path = model_path[:-4] + "_fused.ply"
 
     if args.camera is None:
-        args.camera = os.path.join(os.path.dirname(model_path), "cameras.json")
+        args.camera = os.path.join(
+            model_path if os.path.isdir(model_path) else os.path.dirname(model_path),
+            "cameras.json",
+        )
     with open(args.camera) as f:
         cameras = [JSON_to_camera(cj) for cj in json.load(f)]
 

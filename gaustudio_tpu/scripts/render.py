@@ -64,7 +64,10 @@ def main():
         pcd.load(model_path)
 
     if args.source_path is None:
-        args.source_path = os.path.join(os.path.dirname(model_path), "cameras.json")
+        args.source_path = os.path.join(
+            model_path if os.path.isdir(model_path) else os.path.dirname(model_path),
+            "cameras.json",
+        )
     if args.source_path.endswith(".json"):
         with open(args.source_path) as f:
             cameras = [JSON_to_camera(cj) for cj in json.load(f)]

@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--white_background", action="store_true")
     parser.add_argument("--save_every", default=7000, type=int)
     parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--init_points", default=50000, type=int,
+                        help="random-init point count when no sparse points exist")
     args, extras = parser.parse_known_args()
 
     import numpy as np
@@ -57,11 +59,12 @@ def main():
             xyz, rgb, _ = read_points3D_binary(bin_path)
             pcd.create_from_attribute(xyz=xyz, rgb=rgb / 255.0)
         else:
-            print("No sparse points found; random init of 50k points")
+            n0 = args.init_points
+            print(f"No sparse points found; random init of {n0} points")
             rng = np.random.default_rng(args.seed)
             r = dataset.cameras_extent
-            xyz = rng.uniform(-r / 2, r / 2, (50000, 3)).astype(np.float32)
-            pcd.create_from_attribute(xyz=xyz, rgb=np.full((50000, 3), 0.5, np.float32))
+            xyz = rng.uniform(-r / 2, r / 2, (n0, 3)).astype(np.float32)
+            pcd.create_from_attribute(xyz=xyz, rgb=np.full((n0, 3), 0.5, np.float32))
 
     tr_conf = config.get("trainer", {})
     cfg = T.TrainConfig(

@@ -172,7 +172,21 @@ def read_extrinsics_text(path) -> Dict[int, ColmapImage]:
     images = {}
     with open(path) as fid:
         lines = [ln.strip() for ln in fid]
-    content = [ln for ln in lines if ln and not ln.startswith("#")]
+    # pair each image header with its (possibly empty) 2D-points line
+    content = []
+    pending_header = None
+    for ln in lines:
+        if ln.startswith("#"):
+            continue
+        if pending_header is None:
+            if not ln:
+                continue
+            pending_header = ln
+        else:
+            content.extend([pending_header, ln])
+            pending_header = None
+    if pending_header is not None:
+        content.extend([pending_header, ""])
     for i in range(0, len(content), 2):
         elems = content[i].split()
         image_id = int(elems[0])

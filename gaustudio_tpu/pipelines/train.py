@@ -16,6 +16,7 @@ capacity (power-of-two buckets) only when occupancy crosses a threshold.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, NamedTuple, Optional
 
@@ -486,3 +487,35 @@ class Trainer:
                 if callback:
                     callback(m)
         return history
+
+
+# --- checkpoint / resume (SURVEY.md §5: reference has ply-only checkpoints;
+# we add full (params, opt_state, step) snapshots via orbax) ----------------
+
+def save_checkpoint(path: str, state: GaussianTrainState) -> None:
+    """Write a full training checkpoint (params + Adam moments + stats)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, jax.tree.map(np.asarray, state), force=True)
+
+
+def load_checkpoint(path: str) -> GaussianTrainState:
+    """Restore a training checkpoint saved by save_checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    raw = ckpt.restore(os.path.abspath(path))
+    opt = AdamState(mu=raw["opt"]["mu"], nu=raw["opt"]["nu"],
+                    count=jnp.asarray(raw["opt"]["count"]))
+    return GaussianTrainState(
+        params={k: jnp.asarray(v) for k, v in raw["params"].items()},
+        valid=jnp.asarray(raw["valid"]),
+        opt=opt,
+        step=jnp.asarray(raw["step"]),
+        xyz_grad_accum=jnp.asarray(raw["xyz_grad_accum"]),
+        denom=jnp.asarray(raw["denom"]),
+        max_radii2d=jnp.asarray(raw["max_radii2d"]),
+        active_sh_degree=jnp.asarray(raw["active_sh_degree"]),
+    )

@@ -99,3 +99,130 @@ def get_interpolated_poses_many(poses, steps_per_transition: int = 10):
         out.extend(get_interpolated_poses(poses[i], poses[i + 1], steps_per_transition))
     out.append(np.asarray(poses[-1], np.float64))
     return out
+
+
+def focus_of_attention(poses: np.ndarray, initial_focus: np.ndarray) -> np.ndarray:
+    """Closest point to the cameras' optical axes (pose_utils.py:478-513)."""
+    poses = np.asarray(poses, np.float64)
+    active_directions = -poses[:, :3, 2:3]
+    active_origins = poses[:, :3, 3:4]
+    focus_pt = np.asarray(initial_focus, np.float64)
+    active = np.sum(
+        active_directions[..., 0] * (focus_pt - active_origins[..., 0]), axis=-1
+    ) > 0
+    done = False
+    while active.sum() > 1 and not done:
+        dirs = active_directions[active]
+        origs = active_origins[active]
+        m = np.eye(3) - dirs * np.transpose(dirs, (0, 2, 1))
+        mt_m = np.transpose(m, (0, 2, 1)) @ m
+        focus_pt = np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origs).mean(0)[:, 0]
+        active = np.sum(
+            active_directions[..., 0] * (focus_pt - active_origins[..., 0]), axis=-1
+        ) > 0
+        if active.all():
+            done = True
+    return focus_pt
+
+
+def _rotation_between(a, b):
+    """Rotation matrix taking unit vector a to unit vector b."""
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if c < -1 + 1e-8:  # opposite: rotate around any orthogonal axis
+        axis = np.cross(a, [1.0, 0, 0])
+        if np.linalg.norm(axis) < 1e-6:
+            axis = np.cross(a, [0, 1.0, 0])
+        axis /= np.linalg.norm(axis)
+        return 2 * np.outer(axis, axis) - np.eye(3)
+    vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    return np.eye(3) + vx + vx @ vx / (1 + c)
+
+
+def auto_orient_and_center_poses(poses, method: str = "up",
+                                 center_method: str = "poses"):
+    """Orient and center c2w poses (pose_utils.py:517-623, numpy port).
+
+    methods: "pca" | "up" | "none"; center: "poses" | "focus" | "none".
+    Returns (oriented [N,3,4], transform [3,4]).
+    """
+    poses = np.asarray(poses, np.float64)
+    origins = poses[..., :3, 3]
+    mean_origin = origins.mean(axis=0)
+
+    if center_method == "poses":
+        translation = mean_origin
+    elif center_method == "focus":
+        translation = focus_of_attention(poses, mean_origin)
+    elif center_method == "none":
+        translation = np.zeros(3)
+    else:
+        raise ValueError(f"unknown center_method {center_method}")
+
+    if method == "pca":
+        diff = origins - mean_origin
+        _, eigvec = np.linalg.eigh(diff.T @ diff)
+        eigvec = np.flip(eigvec, axis=-1)
+        if np.linalg.det(eigvec) < 0:
+            eigvec[:, 2] = -eigvec[:, 2]
+        transform = np.concatenate(
+            [eigvec.T, eigvec.T @ -translation[:, None]], axis=-1
+        )
+        oriented = transform @ poses
+        if oriented.mean(axis=0)[2, 1] < 0:
+            oriented[:, 1:3] = -oriented[:, 1:3]
+    elif method == "up":
+        up = poses[:, :3, 1].mean(0)
+        up /= np.linalg.norm(up)
+        rotation = _rotation_between(up, np.array([0, 0, 1.0]))
+        transform = np.concatenate([rotation, rotation @ -translation[:, None]], -1)
+        oriented = transform @ poses
+    elif method == "none":
+        transform = np.concatenate([np.eye(3), -translation[:, None]], -1)
+        oriented = transform @ poses
+    else:
+        raise ValueError(f"unknown method {method}")
+    return oriented, transform
+
+
+def get_distortion_params(k1=0.0, k2=0.0, k3=0.0, k4=0.0, p1=0.0, p2=0.0):
+    """pose_utils.py:321-352: OpenCV-style radial/tangential params vector."""
+    return np.array([k1, k2, k3, k4, p1, p2], np.float64)
+
+
+def radial_and_tangential_undistort(coords, distortion_params, eps: float = 1e-3,
+                                    max_iterations: int = 10):
+    """Iterative Newton undistortion (pose_utils.py:354-449, numpy port).
+
+    coords: [N, 2] distorted normalized camera coords -> undistorted coords.
+    """
+    coords = np.asarray(coords, np.float64)
+    k1, k2, k3, k4, p1, p2 = distortion_params
+
+    def distort(x, y):
+        r2 = x * x + y * y
+        d = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        fx = d * x + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) - coords[:, 0]
+        fy = d * y + 2 * p2 * x * y + p1 * (r2 + 2 * y * y) - coords[:, 1]
+        # analytic Jacobian
+        d_r2 = k1 + r2 * (2 * k2 + r2 * (3 * k3 + r2 * 4 * k4))
+        fx_x = d + 2 * x * x * d_r2 + 2 * p1 * y + 6 * p2 * x
+        fx_y = 2 * x * y * d_r2 + 2 * p1 * x + 2 * p2 * y
+        fy_x = fx_y
+        fy_y = d + 2 * y * y * d_r2 + 2 * p2 * x + 6 * p1 * y
+        return fx, fy, fx_x, fx_y, fy_x, fy_y
+
+    x = coords[:, 0].copy()
+    y = coords[:, 1].copy()
+    for _ in range(max_iterations):
+        fx, fy, a, b, c, d = distort(x, y)
+        det = a * d - b * c
+        det = np.where(np.abs(det) > 1e-12, det, 1.0)
+        dx = (d * fx - b * fy) / det
+        dy = (-c * fx + a * fy) / det
+        step = np.abs(fx) + np.abs(fy) > eps
+        x = x - np.where(step, dx, 0.0)
+        y = y - np.where(step, dy, 0.0)
+    return np.stack([x, y], -1)

@@ -1,5 +1,7 @@
 """Training loop tests: overfitting a synthetic scene + densification logic."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -161,3 +163,34 @@ def test_capacity_growth():
     Trainer.maybe_grow_capacity(tr)
     assert tr.state.valid.shape[0] == 64
     assert int(tr.state.num_points) == 32
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _mini_state()
+    # advance once so moments/step are non-trivial
+    p = str(tmp_path / "ckpt")
+    T.save_checkpoint(p, state)
+    back = T.load_checkpoint(p)
+    assert int(back.step) == int(state.step)
+    np.testing.assert_allclose(np.asarray(back.params["xyz"]),
+                               np.asarray(state.params["xyz"]))
+    np.testing.assert_array_equal(np.asarray(back.valid), np.asarray(state.valid))
+
+
+def test_metrics_and_snapshot(tmp_path):
+    from gaustudio_tpu.utils.observability import MetricsLogger, snapshot_on_nonfinite
+
+    log = MetricsLogger(str(tmp_path / "m.jsonl"), echo=False)
+    log.log(1, loss=0.5, psnr=20.0)
+    log.log(2, loss=0.4)
+    log.close()
+    import json as _json
+
+    lines = [_json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+
+    tree = {"a": jnp.ones(3), "b": jnp.asarray([1.0, float("nan")])}
+    dump = str(tmp_path / "snap.pkl")
+    assert snapshot_on_nonfinite(tree, dump, "test")
+    assert os.path.exists(dump)
+    assert not snapshot_on_nonfinite({"a": jnp.ones(2)}, str(tmp_path / "no.pkl"))

@@ -108,7 +108,21 @@ def write_intrinsics_binary(cameras: Dict[int, ColmapCamera], path) -> None:
 
 
 def read_extrinsics_binary(path) -> Dict[int, ColmapImage]:
-    """images.bin reader (datasets/utils.py:289-320)."""
+    """images.bin reader (datasets/utils.py:289-320).
+
+    Uses the native C++ parser (gaustudio_tpu.utils.native) when built —
+    the python struct loop is the reference's slowest loader path."""
+    from gaustudio_tpu.utils import native
+
+    try:
+        raw = native.read_images_binary(path)
+    except IOError:
+        raw = None
+    if raw is not None:
+        return {
+            iid: ColmapImage(iid, q, t, cid, name, xys, pids)
+            for iid, (q, t, cid, name, xys, pids) in raw.items()
+        }
     images = {}
     with open(path, "rb") as fid:
         (num_images,) = _read_bytes(fid, 8, "Q")
@@ -204,7 +218,17 @@ def read_extrinsics_text(path) -> Dict[int, ColmapImage]:
 
 
 def read_points3D_binary(path):
-    """points3D.bin reader (datasets/utils.py:235-264): (xyz, rgb, error)."""
+    """points3D.bin reader (datasets/utils.py:235-264): (xyz, rgb, error).
+
+    Uses the native C++ parser when available."""
+    from gaustudio_tpu.utils import native
+
+    try:
+        result = native.read_points3d_binary(path)
+    except IOError:
+        result = None
+    if result is not None:
+        return result
     xyzs, rgbs, errors = [], [], []
     with open(path, "rb") as fid:
         (num_points,) = _read_bytes(fid, 8, "Q")

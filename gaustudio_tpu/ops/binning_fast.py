@@ -143,6 +143,65 @@ def monotone_expand(data, g, block_lo):
     return out.reshape(K, F)
 
 
+
+
+_TILE = 16  # pixel tile edge (gaussian.TILE_X)
+
+
+def _tile_max_alpha_keep(expanded, tile, tx, ty, valid):
+    """True iff the entry's max alpha over its 16x16 tile can reach 1/255.
+
+    Maximizes the (negated) quadratic power = -0.5 d^T Q d over the tile's
+    pixel box by minimizing d^T Q d: the minimum is either 0 (mean inside
+    the box) or attained on one of the four edges, where the 1-D quadratic
+    has a closed-form clamped vertex.
+    """
+    mx = expanded[:, 0]
+    my = expanded[:, 1]
+    a = expanded[:, 2]
+    b = expanded[:, 3]
+    c = expanded[:, 4]
+    op = expanded[:, 5]
+
+    x0 = tx.astype(jnp.float32) * _TILE
+    x1 = x0 + _TILE - 1
+    y0 = ty.astype(jnp.float32) * _TILE
+    y1 = y0 + _TILE - 1
+
+    inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+
+    # d = mean - pixel; edges in d-space
+    dx0 = mx - x1  # pixel at x1 -> smallest dx
+    dx1 = mx - x0
+    dy0 = my - y1
+    dy1 = my - y0
+
+    big = jnp.float32(3.4e38)
+    safe_a = jnp.where(jnp.abs(a) > 1e-12, a, 1e-12)
+    safe_c = jnp.where(jnp.abs(c) > 1e-12, c, 1e-12)
+
+    def q(dx, dy):
+        return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+
+    def edge_y(dy):  # minimize over dx in [dx0, dx1] at fixed dy
+        v = jnp.clip(-b * dy / safe_a, dx0, dx1)
+        return q(v, dy)
+
+    def edge_x(dx):  # minimize over dy in [dy0, dy1] at fixed dx
+        v = jnp.clip(-b * dx / safe_c, dy0, dy1)
+        return q(dx, v)
+
+    m = jnp.minimum(
+        jnp.minimum(edge_y(dy0), edge_y(dy1)),
+        jnp.minimum(edge_x(dx0), edge_x(dx1)),
+    )
+    min_q = jnp.where(inside, 0.0, m)
+
+    # keep if alpha_max = op * exp(-0.5 * min_q) >= 1/255
+    # i.e. min_q <= 2 * ln(255 * op); op <= 1/255 keeps nothing
+    thresh = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+    return valid & (min_q <= thresh) & (op * 255.0 >= 1.0)
+
 def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
                        num_entries: int) -> BinnedBlocks:
     """Build the block-aligned sorted entry layout (see module docstring)."""
@@ -208,6 +267,14 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     ty = expanded[:, 18].astype(jnp.int32) + j // rw
     tile = ty * grid_x + tx
     slot_valid = slot_valid & (expanded[:, 11] > 0.5)
+
+    # exact per-entry ellipse/tile culling: drop (gaussian, tile) pairs whose
+    # maximum alpha anywhere in the tile is < 1/255 — such entries are
+    # skipped pixel-by-pixel by the compositor anyway (forward.cu:354), so
+    # removing them up-front leaves images bit-identical while shrinking the
+    # per-tile work (the rect is a loose bbox of the 3-sigma *circle*).
+    keep = _tile_max_alpha_keep(expanded, tile, tx, ty, slot_valid)
+    slot_valid = slot_valid & keep
     tile = jnp.where(slot_valid, tile, num_tiles)
 
     # 4. one stable sort by tile carrying all attribute payloads

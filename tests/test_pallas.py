@@ -46,24 +46,24 @@ def test_fast_binning_matches_reference(preprocessed):
             lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
         )(pre)
 
-    assert int(fast.num_rendered) == int(ref.num_rendered)
-    np.testing.assert_array_equal(
-        np.asarray(fast.tile_count), np.asarray(ref.tile_count)
-    )
-    # per-tile entry sets and order must match: compare gaussian id sequences
+    # ellipse/tile culling may drop sub-1/255 entries, never add any
+    assert int(fast.num_rendered) <= int(ref.num_rendered)
+    assert (np.asarray(fast.tile_count) <= np.asarray(ref.tile_count)).all()
+    # per-tile gid sequences must be order-preserving subsequences of ref's
     ref_gid = np.asarray(ref.gauss_id)
     ref_start = np.asarray(ref.tile_start)
     ref_count = np.asarray(ref.tile_count)
+    fast_count = np.asarray(fast.tile_count)
     flat = np.asarray(fast.entry_blocks).transpose(0, 2, 1).reshape(-1, 16)
     start = np.asarray(fast.tile_start)
     for t in range(gx * gy):
-        cnt = ref_count[t]
-        if cnt == 0:
-            continue
-        want = ref_gid[ref_start[t] : ref_start[t] + cnt]
+        cnt = fast_count[t]
+        want = list(ref_gid[ref_start[t] : ref_start[t] + ref_count[t]])
         got = flat[start[t] : start[t] + cnt, 10].astype(np.int32)
-        np.testing.assert_array_equal(got, want, err_msg=f"tile {t}")
-        assert (flat[start[t] : start[t] + cnt, 11] > 0.5).all()
+        it = iter(want)
+        assert all(g in it for g in got), f"tile {t}: not a subsequence"
+        if cnt:
+            assert (flat[start[t] : start[t] + cnt, 11] > 0.5).all()
 
 
 def test_pallas_composite_matches_reference(preprocessed):
@@ -103,6 +103,9 @@ def test_pallas_composite_matches_reference(preprocessed):
     np.testing.assert_allclose(
         packed[:, :, 7], np.asarray(ref.final_T)[:T1], rtol=2e-4, atol=2e-5
     )
-    np.testing.assert_array_equal(
-        packed[:, :, 8].astype(np.int32), np.asarray(ref.n_contrib)[:T1]
-    )
+    # n_contrib counts positions within the (culled) per-tile list, so it can
+    # only shrink; zero stays zero
+    ref_nc = np.asarray(ref.n_contrib)[:T1]
+    got_nc = packed[:, :, 8].astype(np.int32)
+    assert (got_nc <= ref_nc).all()
+    np.testing.assert_array_equal(got_nc == 0, ref_nc == 0)

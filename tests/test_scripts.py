@@ -130,3 +130,46 @@ def test_gs_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "point_cloud", "iteration_20",
                                        "point_cloud.ply"))
     assert os.path.exists(os.path.join(out, "cameras.json"))
+
+
+def test_gs_render_mesh_and_texture_cli(trained_model_dir, tmp_path):
+    from gaustudio_tpu.ops import mcubes
+    from gaustudio_tpu.scripts import render_mesh, texture_mesh
+    from gaustudio_tpu.utils.mesh import load_mesh, save_mesh
+
+    lin = np.linspace(-1, 1, 24, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    sdf = np.sqrt(x * x + y * y + z * z) - 0.45
+    verts, faces = mcubes.marching_tetrahedra(sdf, 0.0, origin=np.full(3, -1.0),
+                                              voxel_size=lin[1] - lin[0])
+    mesh_path = str(tmp_path / "sphere.ply")
+    save_mesh(mesh_path, verts, faces,
+              vertex_colors=np.abs(verts) / np.abs(verts).max())
+
+    out = str(tmp_path / "mrender")
+    _run_main(render_mesh, [
+        "-m", mesh_path, "-c", os.path.join(trained_model_dir, "cameras.json"),
+        "-o", out, "--color",
+    ])
+    assert len(os.listdir(os.path.join(out, "depth"))) == 6
+    assert len(os.listdir(os.path.join(out, "normal"))) == 6
+    assert len([f for f in os.listdir(os.path.join(out, "color"))
+                if f.endswith(".png")]) == 6
+
+    # texture baking: images from gs-render output of the model dir
+    from gaustudio_tpu.scripts import render as render_script
+
+    rdir = str(tmp_path / "gsrender")
+    _run_main(render_script, ["-m", trained_model_dir, "-o", rdir, "--sh", "0"])
+    import shutil
+    shutil.copytree(os.path.join(rdir, "images"),
+                    os.path.join(tmp_path, "texsrc", "images"))
+    shutil.copy(os.path.join(trained_model_dir, "cameras.json"),
+                os.path.join(tmp_path, "texsrc", "cameras.json"))
+    out_mesh = str(tmp_path / "textured.ply")
+    _run_main(texture_mesh, [
+        "-m", mesh_path, "-c", os.path.join(tmp_path, "texsrc", "cameras.json"),
+        "-o", out_mesh,
+    ])
+    tv, tf = load_mesh(out_mesh)
+    assert len(tv) == len(verts)

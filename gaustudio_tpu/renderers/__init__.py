@@ -7,4 +7,4 @@ register = _registry.register
 make = _registry.make
 keys = _registry.keys
 
-from gaustudio_tpu.renderers import vanilla, pcd, mip, surfel, scaffold  # noqa: E402,F401
+from gaustudio_tpu.renderers import vanilla, pcd, mip, surfel, scaffold, gsplat  # noqa: E402,F401

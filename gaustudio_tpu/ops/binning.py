@@ -42,8 +42,8 @@ def count_entries(tiles_touched) -> jnp.ndarray:
     return jnp.sum(tiles_touched)
 
 
-def bucket_capacity(total: int, minimum: int = 4096, growth: float = 1.3,
-                    quantum: int = 2048) -> int:
+def bucket_capacity(total: int, minimum: int = 8192, growth: float = 1.3,
+                    quantum: int = 4096) -> int:
     """Round a measured entry count up to a geometric bucket.
 
     Host-side helper: keeps the number of distinct compiled shapes

@@ -126,10 +126,12 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
             # lane-axis inclusive prefix product (Hillis-Steele)
             cum = 1.0 - alpha
-            for sft in (1, 2, 4, 8, 16, 32, 64, 128):
+            sft = 1
+            while sft < BLOCK:
                 shifted = pltpu.roll(cum, sft, axis=1)
                 shifted = jnp.where(lane < sft, 1.0, shifted)
                 cum = cum * shifted
+                sft *= 2
 
             P_incl = T * cum
             one_m = 1.0 - alpha

@@ -270,11 +270,36 @@ def _composite_fast_fwd(grid_x, grid_y, chunk, means2d, conic, colors, depths,
 
 
 def _composite_fast_bwd(grid_x, grid_y, chunk, res, ct):
+    (means2d, conic, colors, depths, opacities, bg, binned,
+     final_T, n_contrib) = res
+
+    if jax.devices()[0].platform != "cpu":
+        # Pallas reverse-walk kernel + sorted segmented reduction
+        from gaustudio_tpu.ops import rasterize_pallas_bwd as BW
+
+        num_tiles = grid_x * grid_y
+        ct_tiles = jnp.concatenate(
+            [
+                ct.color[:num_tiles],
+                ct.depth[:num_tiles][..., None],
+                (-ct.final_T[:num_tiles])[..., None],  # dL/d(1-T) convention
+                ct.median_depth[:num_tiles][..., None],
+                final_T[:num_tiles][..., None],
+                n_contrib[:num_tiles].astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )
+        grad_blocks = BW.composite_backward_pallas(binned, ct_tiles, bg,
+                                                   grid_x, grid_y)
+        d_m2, d_conic, d_colors, d_depths, d_opac = BW.reduce_entry_grads(
+            grad_blocks, binned, means2d.shape[0]
+        )
+        return (d_m2, d_conic, d_colors, d_depths, d_opac,
+                jnp.zeros_like(bg), None)
+
     from gaustudio_tpu.ops import rasterize_ref as RR
     from gaustudio_tpu.ops.binning_fast import compat_arrays
 
-    (means2d, conic, colors, depths, opacities, bg, binned,
-     final_T, n_contrib) = res
     gid, tile, valid, tile_start = compat_arrays(binned, grid_x, grid_y)
     ref_res = (means2d, conic, colors, depths, opacities, bg, gid, tile,
                valid, tile_start, final_T, n_contrib)

@@ -174,8 +174,12 @@ class Camera:
         view_inv = np.linalg.inv(self.world_view_transform)
         self.camera_center = view_inv[3][:3].astype(np.float32)
 
-    def load_image(self, image_path):
-        """datasets/__init__.py:185-192 (+HEIC path of :161-179)."""
+    def load_image(self, image_path, bg_color=None):
+        """datasets/__init__.py:185-192 (+HEIC path of :161-179).
+
+        RGBA images are alpha-composited over ``bg_color`` (default black;
+        the nerf_synthetic white-background convention passes ones).
+        """
         from PIL import Image, ImageOps
 
         if str(image_path).lower().endswith((".heic", ".heif")):
@@ -187,8 +191,16 @@ class Camera:
                 pass
         with Image.open(image_path) as pil_img:
             pil_img = ImageOps.exif_transpose(pil_img)
-            pil_img = pil_img.convert("RGB")
-            self.image = np.asarray(pil_img, np.float32) / 255.0
+            if pil_img.mode == "RGBA":
+                arr = np.asarray(pil_img, np.float32) / 255.0
+                bg = np.zeros(3, np.float32) if bg_color is None else np.asarray(
+                    bg_color, np.float32)
+                a = arr[..., 3:4]
+                self.image = arr[..., :3] * a + bg * (1.0 - a)
+                self.mask = a[..., 0]
+            else:
+                pil_img = pil_img.convert("RGB")
+                self.image = np.asarray(pil_img, np.float32) / 255.0
         self.image_path = image_path
         self.image_name = os.path.basename(str(image_path)).split(".")[0]
         self.image_height, self.image_width = self.image.shape[:2]

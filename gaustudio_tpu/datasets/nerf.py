@@ -26,6 +26,7 @@ class NerfDataset(CameraDataset):
         self.image_path = Path(config["source_path"])
         self.split = config.get("split", "train")
         self.load_images = config.get("load_images", True)
+        self.white_background = config.get("white_background", False)
         self._initialize()
         self.ply_path = None
 
@@ -52,10 +53,14 @@ class NerfDataset(CameraDataset):
             T = extr[:3, 3]
             cam = Camera(
                 R=R, T=T, FoVx=FoVx, FoVy=FoVy,
-                image_path=str(image_path) if (self.load_images and image_path.exists()) else None,
                 image_name=image_name,
                 image_width=width, image_height=height,
             )
+            if self.load_images and image_path.exists():
+                # alpha-composite RGBA renders over the training background
+                bg = np.ones(3, np.float32) if self.white_background else None
+                cam.load_image(str(image_path), bg_color=bg)
+                cam._setup()
             cams.append(cam)
         self.all_cameras = cams
         self.finalize()

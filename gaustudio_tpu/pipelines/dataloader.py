@@ -1,0 +1,79 @@
+"""Host-side data pipeline: threaded camera-batch prefetch.
+
+The reference has no loader beyond torch Dataset indexing; on TPU the host
+must keep the device fed (SURVEY.md §2.3 "Host data pipeline").  This
+loader samples cameras, builds device-ready CameraBatch pytrees on a
+background thread, and keeps a small queue ahead of the training loop so
+host image->device transfer overlaps the previous step's compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class PrefetchLoader:
+    """Infinite sampler of per-step batches with background prefetch."""
+
+    def __init__(self, cameras: List, make_batch: Callable, batch_size: int = 1,
+                 prefetch: int = 2, seed: int = 0, shuffle: bool = True):
+        self.cameras = cameras
+        self.make_batch = make_batch
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _sample(self):
+        if self.shuffle:
+            idx = self._rng.integers(len(self.cameras), size=self.batch_size)
+        else:
+            if not hasattr(self, "_pos"):
+                self._pos = 0
+            idx = [(self._pos + i) % len(self.cameras) for i in range(self.batch_size)]
+            self._pos = (self._pos + self.batch_size) % len(self.cameras)
+        cams = [self.cameras[int(i)] for i in idx]
+        if self.batch_size == 1:
+            return self.make_batch(cams[0])
+        batches = [self.make_batch(c) for c in cams]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                batch = self._sample()
+            except Exception as e:  # surface loader errors to the consumer
+                self._q.put(e)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

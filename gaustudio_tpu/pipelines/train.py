@@ -456,15 +456,30 @@ class Trainer:
             )
 
     def train(self, iterations: Optional[int] = None, log_every: int = 100,
-              callback=None):
+              callback=None, metrics_path: Optional[str] = None,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 0, use_prefetch: bool = True):
+        from gaustudio_tpu.pipelines.dataloader import PrefetchLoader
+        from gaustudio_tpu.utils.observability import (
+            MetricsLogger,
+            snapshot_on_nonfinite,
+        )
+
         cfg = self.cfg
         iters = iterations or cfg.iterations
         settings = self._settings(self.num_entries)
+        logger = MetricsLogger(metrics_path, echo=False) if metrics_path else None
+        loader = None
+        if use_prefetch:
+            loader = PrefetchLoader(self.cameras, self._batch, prefetch=2)
         rng = np.random.default_rng(0)
         history = []
         for it in range(1, iters + 1):
-            cam = self.cameras[rng.integers(len(self.cameras))]
-            self.state, metrics = train_step(self.state, self._batch(cam), settings, cfg)
+            if loader is not None:
+                batch = next(loader)
+            else:
+                batch = self._batch(self.cameras[rng.integers(len(self.cameras))])
+            self.state, metrics = train_step(self.state, batch, settings, cfg)
 
             if it % cfg.sh_increase_interval == 0:
                 self.state = oneup_sh_degree(self.state, cfg.max_sh_degree)
@@ -484,8 +499,26 @@ class Trainer:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["iter"] = it
                 history.append(m)
+                if logger:
+                    logger.log(it, **{k: v for k, v in m.items() if k != "iter"})
+                if not np.isfinite(m["loss"]):
+                    # failure detection: dump inputs for offline repro (the
+                    # TPU analogue of the reference debug snapshot,
+                    # __init__.py:83-90) and stop
+                    snapshot_on_nonfinite(
+                        {"params": self.state.params, "loss": metrics["loss"]},
+                        (metrics_path or "train") + ".snapshot.pkl",
+                        context=f"iter {it}",
+                    )
+                    raise FloatingPointError(f"non-finite loss at iter {it}")
                 if callback:
                     callback(m)
+            if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
+                save_checkpoint(os.path.join(checkpoint_dir, f"step_{it}"), self.state)
+        if loader is not None:
+            loader.close()
+        if logger:
+            logger.close()
         return history
 
 

@@ -194,3 +194,18 @@ def test_metrics_and_snapshot(tmp_path):
     assert snapshot_on_nonfinite(tree, dump, "test")
     assert os.path.exists(dump)
     assert not snapshot_on_nonfinite({"a": jnp.ones(2)}, str(tmp_path / "no.pkl"))
+
+
+def test_prefetch_loader():
+    from gaustudio_tpu.pipelines.dataloader import PrefetchLoader
+
+    items = list(range(5))
+    loader = PrefetchLoader(items, lambda x: jnp.asarray([x]), prefetch=2, seed=0)
+    got = [int(next(loader)[0]) for _ in range(10)]
+    loader.close()
+    assert all(0 <= g < 5 for g in got)
+
+    seq = PrefetchLoader(items, lambda x: jnp.asarray([x]), shuffle=False)
+    got = [int(next(seq)[0]) for _ in range(7)]
+    seq.close()
+    assert got == [0, 1, 2, 3, 4, 0, 1]

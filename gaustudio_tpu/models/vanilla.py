@@ -99,8 +99,9 @@ class VanillaPointCloud(BasePointCloud):
 
         if scale is None:
             dist2 = calculate_dist2(xyz)
+            sdim = int(self.config.get("attributes", {}).get("scale", 3))
             self._scale = np.repeat(
-                np.log(np.sqrt(dist2 + 1e-7))[:, None], 3, axis=1
+                np.log(np.sqrt(dist2 + 1e-7))[:, None], sdim, axis=1
             ).astype(np.float32)
         else:
             self._scale = np.asarray(scale, np.float32)

@@ -43,7 +43,7 @@ def quat_to_rotmat(q, normalize: bool = True):
     paths agree in practice).
     """
     if normalize:
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-18)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     row0 = jnp.stack(
         [1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y)], -1

@@ -151,7 +151,10 @@ def sh_to_rgb_clamped(active_deg, sh, means, campos, max_deg: int = 3):
         (rgb [N, 3], clamped [N, 3] bool)
     """
     d = means - campos
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    # eps inside the sqrt: |x| has a NaN gradient at exactly 0
+    import jax as _jax
+
+    d = d * _jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-18)
     # reference sh layout: [N, K, 3]; eval wants [..., C, K]
     shs = jnp.swapaxes(sh, -1, -2)  # [N, 3, K]
     rgb = eval_sh_masked(active_deg, shs, d, max_deg) + 0.5

@@ -161,8 +161,8 @@ def render_from_params(params, valid, active_sh_degree, settings: RasterizeSetti
     """Differentiable render of the padded parameter set."""
     opacity = jax.nn.sigmoid(params["opacity"][:, 0])
     scales = jnp.exp(params["scale"])
-    rots = params["rot"] / jnp.maximum(
-        jnp.linalg.norm(params["rot"], axis=-1, keepdims=True), 1e-12
+    rots = params["rot"] * jax.lax.rsqrt(
+        jnp.sum(params["rot"] ** 2, axis=-1, keepdims=True) + 1e-18
     )
     return rast.rasterize(
         params["xyz"],
@@ -291,7 +291,11 @@ def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
     src_c = jnp.maximum(src, 0)
 
     # split sampling: x_new = x + R @ (eps * scale), scale /= (0.8 * 2)
-    eps = jax.random.normal(key, (3 * C, 3)) * scale_act[src_c]
+    # (2D surfel models carry a 2-dim scale; pad the flat axis with zeros)
+    sdim = p["scale"].shape[1]
+    eps = jax.random.normal(key, (3 * C, sdim)) * scale_act[src_c]
+    if sdim < 3:
+        eps = jnp.concatenate([eps, jnp.zeros((3 * C, 3 - sdim))], axis=1)
     R = quat_to_rotmat(p["rot"][src_c], normalize=True)
     offset = jnp.einsum("nij,nj->ni", R, eps)
     new_xyz = p["xyz"][src_c] + jnp.where(is_split[:, None], offset, 0.0)

@@ -78,7 +78,20 @@ def main():
         percent_dense=float(tr_conf.get("percent_dense", 0.01)),
         white_background=args.white_background,
     )
-    trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
+    # 2DGS configs route to the surfel trainer (ray-splat rasterizer +
+    # normal/distortion regularizers); everything else uses the vanilla step.
+    renderer_name = config.get("renderer", {}).get("name", "vanilla_renderer")
+    if renderer_name == "surfel_renderer":
+        from gaustudio_tpu.pipelines import train_surfel as TS
+
+        scfg = TS.SurfelTrainConfig(
+            base=cfg,
+            lambda_normal=float(tr_conf.get("lambda_normal", 0.05)),
+            lambda_dist=float(tr_conf.get("lambda_dist", 0.0)),
+        )
+        trainer = TS.SurfelTrainer(pcd, dataset, scfg, seed=args.seed)
+    else:
+        trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
 
     def save(iteration):
         out = os.path.join(args.output_dir, "point_cloud", f"iteration_{iteration}")

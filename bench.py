@@ -85,7 +85,14 @@ def main():
 
     img = render(*args)
     sync(img)
-    assert np.isfinite(np.asarray(img)).all()
+    img_np = np.asarray(img)
+    assert np.isfinite(img_np).all()
+    # guard against silently benchmarking an empty/corrupted render (a
+    # TPU-only bf16-matmul bug once culled 98.7% of entries while every
+    # CPU test stayed green — see binning_fast._expand_kernel)
+    frac_lit = float((img_np.sum(0) > 0).mean())
+    assert frac_lit > 0.9, f"render mostly empty: {frac_lit:.3f} lit"
+    assert 0.05 < float(img_np.mean()) < 0.95, f"mean {img_np.mean():.4f}"
 
     n_iters = 20
     t0 = time.perf_counter()

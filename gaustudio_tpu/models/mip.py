@@ -10,6 +10,7 @@ subscripts a method at :73,83) — fixed here per SURVEY.md §2.2.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gaustudio_tpu import models
@@ -52,7 +53,8 @@ class MipPointCloud(VanillaPointCloud):
             R = np.asarray(camera.R, np.float32)
             T = np.asarray(camera.T, np.float32)
             # R is stored "transposed" (reference comment): cam = xyz @ R + T
-            xyz_cam = xyz @ R + T[None, :]
+            xyz_cam = jnp.einsum("nj,ji->ni", xyz, R,
+                     precision=jax.lax.Precision.HIGHEST) + T[None, :]
             valid_depth = xyz_cam[:, 2] > 0.2
             z = np.clip(xyz_cam[:, 2], 0.001, None)
             K = np.asarray(camera.intrinsics)

@@ -3,6 +3,7 @@ quaternion/scaling covariance builders) to jnp."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gaustudio_tpu.ops.gaussian import quat_to_rotmat
@@ -83,4 +84,5 @@ def strip_symmetric(sym):
 def build_covariance_from_scaling_rotation(scaling, scaling_modifier, rotation):
     """models/utils.py:93-97: Sigma = L L^T, 6-vector."""
     L = build_scaling_rotation(scaling_modifier * jnp.asarray(scaling), rotation)
-    return strip_symmetric(L @ jnp.swapaxes(L, -1, -2))
+    return strip_symmetric(jnp.einsum("nij,nkj->nik", L, L,
+                       precision=jax.lax.Precision.HIGHEST))

@@ -57,8 +57,11 @@ def _blocked_cumsum(x):
     xp = jnp.pad(x.astype(jnp.float32), (0, pad))
     xb = xp.reshape(-1, B)
     tril = jnp.tril(jnp.ones((B, B), jnp.float32), -1)  # strictly lower
+    # HIGHEST: counts > 256 would round in the default-bf16 MXU passes
     inner = jax.lax.dot_general(
-        xb, tril.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        xb, tril.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     block_tot = inner[:, -1] + xb[:, -1]
     carry = jnp.concatenate([jnp.zeros(1), jnp.cumsum(block_tot)[:-1]])
@@ -101,9 +104,15 @@ def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems, *, F)
             == local[:, None]
         ).astype(jnp.float32)
         rows = win[pl.ds(off, BLOCK), :]
+        # precision=HIGHEST is load-bearing: TPU f32 matmuls default to
+        # bf16 MXU passes, which would quantize the selected values (the
+        # `starts` column reaches ~2^21, i.e. +-4096 error in bf16 —
+        # enough to corrupt every tile coordinate downstream). The f32x3
+        # decomposition reproduces one-hot selection exactly.
         sel = jax.lax.dot_general(
             onehot, rows, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         out_ref[0, pl.ds(b * BLOCK, BLOCK), :] = sel[:, :F]
 
@@ -277,17 +286,29 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     slot_valid = slot_valid & keep
     tile = jnp.where(slot_valid, tile, num_tiles)
 
-    # 4. one stable sort by tile carrying all attribute payloads
-    cols = tuple(expanded[:, a] for a in range(NUM_ATTRS))
+    # 4. one stable sort by tile carrying the 11 used attribute payloads.
+    # Sort cost on TPU scales ~linearly with operand count (~2ms/operand at
+    # 2M entries), so the valid flag (derivable from the key: culled entries
+    # were keyed num_tiles) and the 4 pad rows are rebuilt after the sort.
+    cols = tuple(expanded[:, a] for a in range(11))
     sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
     sort_tile = sorted_ops[0]
     nb = K // BLOCK
+    valid_row = (sort_tile < num_tiles).astype(jnp.float32).reshape(nb, BLOCK)
+    zero_row = jnp.zeros((nb, BLOCK), jnp.float32)
     entry_blocks = jnp.stack(
-        [c.reshape(nb, BLOCK) for c in sorted_ops[1:]], axis=1
+        [c.reshape(nb, BLOCK) for c in sorted_ops[1:]]
+        + [valid_row, zero_row, zero_row, zero_row, zero_row],
+        axis=1,
     )  # [NB, 16, BLOCK]
 
-    hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile].add(1)
-    tile_count = hist[:num_tiles]
+    # per-tile counts from the *sorted* keys: XLA's sorted-indices scatter
+    # path is ~50x faster than the random scatter `.at[tile].add(1)`
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(sort_tile), sort_tile, num_segments=num_tiles + 1,
+        indices_are_sorted=True,
+    )
+    tile_count = hist[:num_tiles].astype(jnp.int32)
     tile_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_count)[:-1].astype(jnp.int32)]
     )

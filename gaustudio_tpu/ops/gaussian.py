@@ -96,8 +96,30 @@ def build_cov3d(scale, scale_modifier, quat, normalize_quat: bool = False):
 
 
 def transform_points(points, mat4):
-    """(p, 1) @ mat4 -> [..., 4]; mat4 is the transposed-matrix convention."""
-    return points @ mat4[:3, :] + mat4[3, :]
+    """(p, 1) @ mat4 -> [..., 4]; mat4 is the transposed-matrix convention.
+
+    Written as explicit scalar muls/adds rather than ``points @ mat4``: on
+    TPU an f32 matmul defaults to bf16 MXU passes, which would quantize
+    world/screen positions (~8px error at 2000px) — and a 3-wide contraction
+    belongs on the VPU anyway.
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    return jnp.stack(
+        [x * mat4[0, i] + y * mat4[1, i] + z * mat4[2, i] + mat4[3, i]
+         for i in range(4)],
+        axis=-1,
+    )
+
+
+def transform_dirs(dirs, mat):
+    """dirs @ mat for [...,3] x [3,C] — scalarized for the same f32-on-TPU
+    reason as transform_points (no translation row)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    return jnp.stack(
+        [x * mat[0, i] + y * mat[1, i] + z * mat[2, i]
+         for i in range(mat.shape[1])],
+        axis=-1,
+    )
 
 
 def compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix):
@@ -238,7 +260,7 @@ def preprocess(
     depths = p_view[..., 2]
     in_front = depths > NEAR_CULL_Z
 
-    p_hom = means3d @ projmatrix[:3, :] + projmatrix[3, :]
+    p_hom = transform_points(means3d, projmatrix)
     p_w = 1.0 / (p_hom[..., 3] + 1e-7)
     p_proj = p_hom[..., :3] * p_w[..., None]
 

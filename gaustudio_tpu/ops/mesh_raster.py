@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaustudio_tpu.ops.gaussian import TILE_PIXELS, TILE_X, TILE_Y, ndc2pix
+from gaustudio_tpu.ops.gaussian import (
+    TILE_PIXELS,
+    TILE_X,
+    TILE_Y,
+    ndc2pix,
+    transform_points,
+)
 from gaustudio_tpu.ops.rasterize_ref import _pixel_grid, tiles_to_image
 
 _FAR = 3.0e38
@@ -46,13 +52,13 @@ def rasterize_mesh(vertices, faces, viewmatrix, projmatrix,
     num_tiles = grid_x * grid_y
     T1 = num_tiles + 1
 
-    # project vertices
-    hom = vertices @ projmatrix[:3, :] + projmatrix[3, :]
+    # project vertices (scalarized: f32 `@` runs in bf16 on the TPU MXU)
+    hom = transform_points(vertices, projmatrix)
     wclip = hom[:, 3]
     ndc = hom[:, :3] / (wclip[:, None] + 1e-9)
     px = ndc2pix(ndc[:, 0], W)
     py = ndc2pix(ndc[:, 1], H)
-    zview = (vertices @ viewmatrix[:3, :] + viewmatrix[3, :])[:, 2]
+    zview = transform_points(vertices, viewmatrix)[:, 2]
 
     v2d = jnp.stack([px, py], -1)  # [V, 2]
     f = faces.astype(jnp.int32)
@@ -200,7 +206,8 @@ def interpolate_attribute(frag: MeshFragments, faces, vertex_attr):
     tid = jnp.maximum(frag.tri_id, 0)
     tri_verts = f[tid]  # [H, W, 3]
     a = vertex_attr[tri_verts]  # [H, W, 3, C]
-    out = jnp.einsum("hwk,hwkc->hwc", frag.bary, a)
+    out = jnp.einsum("hwk,hwkc->hwc", frag.bary, a,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.where(frag.mask[..., None], out, 0.0)
 
 

@@ -332,7 +332,8 @@ def _composite_bwd(grid_x, grid_y, chunk, res, ct: CompositeOut):
         cross = contrib & (Tb > 0.5) & (T_after < 0.5)
 
         # per-gaussian accumulation (sum over the 256 pixels, scatter by id)
-        d_col_e = jnp.einsum("cp,cpk->ck", w, dCg)
+        d_col_e = jnp.einsum("cp,cpk->ck", w, dCg,
+                             precision=jax.lax.Precision.HIGHEST)
         d_dep_e = jnp.sum(w * dDg + jnp.where(cross, dMedg, 0.0), axis=1)
         dL_dG = op[:, None] * dL_dalpha  # backward.cu:533 (no 0.99-clamp gate)
         # NOTE deviation from the reference: backward.cu:578-580 adds an extra

@@ -36,6 +36,7 @@ from gaustudio_tpu.ops.gaussian import (
     get_rect,
     ndc2pix,
     quat_to_rotmat,
+    transform_dirs,
     transform_points,
 )
 from gaustudio_tpu.ops.rasterize_ref import (
@@ -92,9 +93,10 @@ def preprocess_surfel(
     in_front = depths > NEAR_CULL_Z
 
     # S rows: images of (u,v,1) under the full projective transform
-    Su = tu @ projmatrix[:3, :]  # direction: no translation row
-    Sv = tv @ projmatrix[:3, :]
-    Sp = means3d @ projmatrix[:3, :] + projmatrix[3, :]
+    # (scalarized transforms: f32 `@` would run in bf16 on the TPU MXU)
+    Su = transform_dirs(tu, projmatrix)  # direction: no translation row
+    Sv = transform_dirs(tv, projmatrix)
+    Sp = transform_points(means3d, projmatrix)
 
     def pix_rows(S):
         # px*w = 0.5W*(x+w) - 0.5*w ; py*w = 0.5H*(y+w) - 0.5*w
@@ -117,10 +119,10 @@ def preprocess_surfel(
 
     # view-space depth coefficients over (u, v, 1)
     Rv = viewmatrix[:3, :3]
-    tu_v = tu @ Rv
-    tv_v = tv @ Rv
+    tu_v = transform_dirs(tu, Rv)
+    tv_v = transform_dirs(tv, Rv)
     Dk = jnp.stack([tu_v[..., 2], tv_v[..., 2], depths], -1)
-    normal_view = nrm @ Rv
+    normal_view = transform_dirs(nrm, Rv)
 
     # projected center + conservative screen radius from the projected axes
     w_c = mwp + 1e-7

@@ -113,7 +113,12 @@ def eval_sh(deg: int, sh, dirs):
     coeff = (deg + 1) ** 2
     assert sh.shape[-1] >= coeff
     basis = sh_basis(dirs, deg)  # [..., coeff]
-    return jnp.einsum("...ck,...k->...c", sh[..., :coeff], basis)
+    # HIGHEST: TPU f32 contractions default to bf16 MXU passes (~0.4%
+    # color error otherwise)
+    import jax as _jax
+
+    return jnp.einsum("...ck,...k->...c", sh[..., :coeff], basis,
+                      precision=_jax.lax.Precision.HIGHEST)
 
 
 def band_mask(active_deg, num_coeffs: int, dtype=jnp.float32):
@@ -130,9 +135,12 @@ def band_mask(active_deg, num_coeffs: int, dtype=jnp.float32):
 
 def eval_sh_masked(active_deg, sh, dirs, max_deg: int = 3):
     """Like eval_sh but the degree is a traced value, applied as a band mask."""
+    import jax as _jax
+
     coeff = (max_deg + 1) ** 2
     basis = sh_basis(dirs, max_deg) * band_mask(active_deg, coeff, sh.dtype)
-    return jnp.einsum("...ck,...k->...c", sh[..., :coeff], basis)
+    return jnp.einsum("...ck,...k->...c", sh[..., :coeff], basis,
+                      precision=_jax.lax.Precision.HIGHEST)
 
 
 def sh_to_rgb_clamped(active_deg, sh, means, campos, max_deg: int = 3):

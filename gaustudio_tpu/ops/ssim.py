@@ -31,12 +31,12 @@ def _blur(img, kernel):
     pad = k // 2
     x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="edge")
     x = jnp.moveaxis(x, 1, -1)  # [C, W, H+p]
-    x = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(
+    x = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid", precision=jax.lax.Precision.HIGHEST))(
         x.reshape(-1, x.shape[-1])
     ).reshape(x.shape[0], x.shape[1], -1)
     x = jnp.moveaxis(x, -1, 1)  # [C, H, W]
     x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="edge")
-    x = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(
+    x = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid", precision=jax.lax.Precision.HIGHEST))(
         x.reshape(-1, x.shape[-1])
     ).reshape(img.shape)
     return x

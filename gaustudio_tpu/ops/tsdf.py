@@ -81,7 +81,8 @@ def integrate(volume: TSDFVolume, depth, intrinsics, world_to_cam,
 
     R = world_to_cam[:3, :3]
     t = world_to_cam[:3, 3]
-    cam = world @ R.T + t  # [X,Y,Z,3]
+    cam = jnp.einsum("...j,ij->...i", world, R,
+                 precision=jax.lax.Precision.HIGHEST) + t  # [X,Y,Z,3]
     z = cam[..., 2]
 
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]

@@ -297,7 +297,8 @@ def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
     if sdim < 3:
         eps = jnp.concatenate([eps, jnp.zeros((3 * C, 3 - sdim))], axis=1)
     R = quat_to_rotmat(p["rot"][src_c], normalize=True)
-    offset = jnp.einsum("nij,nj->ni", R, eps)
+    offset = jnp.einsum("nij,nj->ni", R, eps,
+                    precision=jax.lax.Precision.HIGHEST)
     new_xyz = p["xyz"][src_c] + jnp.where(is_split[:, None], offset, 0.0)
     new_scale = jnp.where(
         is_split[:, None],

@@ -93,7 +93,8 @@ class SurfelRenderer(BaseRenderer):
         # rotate view normals to world: n @ R_v2w (surfel_renderer.py:100-101)
         w2v = jnp.asarray(viewpoint_camera.world_view_transform)
         n_view = jnp.moveaxis(out["rendered_normal_view"], 0, -1)
-        n_world = n_view @ w2v[:3, :3].T
+        n_world = jnp.einsum("hwj,ij->hwi", n_view, w2v[:3, :3].T,
+                     precision=jax.lax.Precision.HIGHEST)
         return {
             "render": out["render"],
             "rendered_normal": jnp.moveaxis(n_world, -1, 0),

@@ -302,16 +302,15 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         axis=1,
     )  # [NB, 16, BLOCK]
 
-    # per-tile counts from the *sorted* keys: XLA's sorted-indices scatter
-    # path is ~50x faster than the random scatter `.at[tile].add(1)`
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(sort_tile), sort_tile, num_segments=num_tiles + 1,
-        indices_are_sorted=True,
-    )
-    tile_count = hist[:num_tiles].astype(jnp.int32)
-    tile_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_count)[:-1].astype(jnp.int32)]
-    )
+    # per-tile ranges via binary search on the sorted keys: 8k queries cost
+    # ~5ms vs ~23ms for either the random scatter `.at[tile].add(1)` or a
+    # sorted segment_sum (XLA-TPU ignores indices_are_sorted), and the
+    # positions give tile_start directly (no cumsum)
+    pos = jnp.searchsorted(
+        sort_tile, jnp.arange(num_tiles + 1, dtype=sort_tile.dtype)
+    ).astype(jnp.int32)
+    tile_start = pos[:num_tiles]
+    tile_count = pos[1:] - pos[:-1]
 
     return BinnedBlocks(
         entry_blocks=entry_blocks,

@@ -4,18 +4,25 @@ Replaces the XLA streaming compositor (rasterize_ref) for inference/bench:
 one Pallas program per 16x16 tile walks its (tile,depth)-sorted entry
 blocks front-to-back, carrying all per-pixel state in registers:
 
-  * layout: pixels on the 256-sublane axis, entries on the 256-lane axis,
-    so per-entry attributes are natural (1, 256) lane vectors and alpha is
-    one (256, 256) VPU tile per quantity;
-  * the sequential transmittance recurrence becomes a Hillis-Steele lane
-    prefix product (8 masked roll-multiply steps), exactly the associative
-    reformulation validated against the CUDA semantics in rasterize_ref;
+  * layout: entries on the 256-sublane axis, PIXELS on the 256-lane axis.
+    Per-pixel carry state (T, color, median, ...) is then a (1, 256) lane
+    vector = ONE vreg per op. The original orientation (pixels on
+    sublanes) made every state op a (256, 1) column = 32 vregs with 1/128
+    lanes active, costing ~3.8us of pure overhead per tile (31ms of the
+    40ms compositor);
+  * the sequential transmittance recurrence becomes a Hillis-Steele
+    sublane prefix product (8 masked roll-multiply steps), exactly the
+    associative reformulation validated against the CUDA semantics in
+    rasterize_ref;
   * entry data streams from HBM with double-buffered DMA of the
-    block-aligned [NB, 16, 256] layout built by binning_fast;
+    block-aligned [NB, 16, 256] layout built by binning_fast; one
+    (16,256)->(256,16) in-VMEM transpose per block (4 vregs) yields the
+    (256, 1) per-entry attribute columns;
   * per-tile early exit (forward.cu:318-320's block vote) is a while-loop
     condition on max transmittance.
 
-Outputs are packed per tile as [T, 256, 16]:
+Outputs are packed per tile as [T, 16, 256] (channel-major, pixels on
+lanes, written as ONE (16, 256) store):
 0:r 1:g 2:b 3:depth 4:med_depth 5:med_weight 6:med_id 7:final_T 8:n_contrib.
 """
 
@@ -42,8 +49,10 @@ NUM_OUT = 16
 def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int):
     g = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-    q = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
+    # entries on sublanes: per-entry masks are (BLOCK, 1) columns
+    subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+    # pixels on lanes: per-pixel state is a (1, 256) row
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     qx = (q % TILE_X).astype(jnp.float32)
     qy = (q // TILE_X).astype(jnp.float32)
 
@@ -70,17 +79,18 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         def _():
             get_dma(0, 0).start()
 
+        row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
         init = (
             jnp.zeros((), jnp.int32),  # chunk index
-            jnp.ones((TILE_PIXELS, 1), jnp.float32),  # T
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # r
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # g
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # b
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # depth
-            jnp.full((TILE_PIXELS, 1), _MEDIAN_DEFAULT, jnp.float32),  # med_d
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_w
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # med_i
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # n_contrib
+            row(1.0),  # T
+            row(0.0),  # r
+            row(0.0),  # g
+            row(0.0),  # b
+            row(0.0),  # depth
+            row(_MEDIAN_DEFAULT),  # med_d
+            row(0.0),  # med_w
+            row(0.0),  # med_i
+            row(0.0),  # n_contrib
         )
 
         def cond(state):
@@ -96,27 +106,27 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 get_dma((c + 1) % 2, c + 1).start()
 
             get_dma(slot, c).wait()
-            blk = scratch[slot]  # (16, BLOCK)
+            blk = scratch[slot].T  # (16, BLOCK) -> (BLOCK, 16), 4-vreg shuffle
 
-            mx = blk[0:1, :]
-            my = blk[1:2, :]
-            ca = blk[2:3, :]
-            cb = blk[3:4, :]
-            cc = blk[4:5, :]
-            op = blk[5:6, :]
-            col_r = blk[6:7, :]
-            col_g = blk[7:8, :]
-            col_b = blk[8:9, :]
-            dep = blk[9:10, :]
-            gid = blk[10:11, :]
-            vld = blk[11:12, :]
+            mx = blk[:, 0:1]
+            my = blk[:, 1:2]
+            ca = blk[:, 2:3]
+            cb = blk[:, 3:4]
+            cc = blk[:, 4:5]
+            op = blk[:, 5:6]
+            col_r = blk[:, 6:7]
+            col_g = blk[:, 7:8]
+            col_b = blk[:, 8:9]
+            dep = blk[:, 9:10]
+            gid = blk[:, 10:11]
+            vld = blk[:, 11:12]
 
-            dx = mx - px  # (256, 256)
+            dx = mx - px  # (BLOCK, 256): entries x pixels
             dy = my - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-            pos = (b0 + c) * BLOCK + lane - start  # position within the tile
+            pos = (b0 + c) * BLOCK + subl - start  # position within the tile
             in_range = (pos >= 0) & (pos < count)
             alpha = jnp.where(
                 (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
@@ -124,12 +134,12 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 alpha,
             )
 
-            # lane-axis inclusive prefix product (Hillis-Steele)
+            # sublane-axis (entry-axis) inclusive prefix product
             cum = 1.0 - alpha
             sft = 1
             while sft < BLOCK:
-                shifted = pltpu.roll(cum, sft, axis=1)
-                shifted = jnp.where(lane < sft, 1.0, shifted)
+                shifted = pltpu.roll(cum, sft, axis=0)
+                shifted = jnp.where(subl < sft, 1.0, shifted)
                 cum = cum * shifted
                 sft *= 2
 
@@ -139,41 +149,37 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             applied = P_incl >= _TERM_EPS
             w = jnp.where(applied, alpha * P_excl, 0.0)
 
-            r = r + jnp.sum(w * col_r, axis=1, keepdims=True)
-            gg = gg + jnp.sum(w * col_g, axis=1, keepdims=True)
-            b = b + jnp.sum(w * col_b, axis=1, keepdims=True)
-            d = d + jnp.sum(w * dep, axis=1, keepdims=True)
+            r = r + jnp.sum(w * col_r, axis=0, keepdims=True)
+            gg = gg + jnp.sum(w * col_g, axis=0, keepdims=True)
+            b = b + jnp.sum(w * col_b, axis=0, keepdims=True)
+            d = d + jnp.sum(w * dep, axis=0, keepdims=True)
 
             T = jnp.minimum(
-                T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=1, keepdims=True)
+                T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0, keepdims=True)
             )
 
             cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
-            crossed = jnp.any(cross, axis=1, keepdims=True)
-            md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 1, keepdims=True), md)
+            crossed = jnp.any(cross, axis=0, keepdims=True)
+            md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 0, keepdims=True), md)
             mw = jnp.where(
-                crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 1, keepdims=True), mw
+                crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0, keepdims=True), mw
             )
-            mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 1, keepdims=True), mi)
+            mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi)
 
             pos1 = (pos + 1).astype(jnp.float32)
-            nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 1, keepdims=True))
+            nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0, keepdims=True))
 
             return (c + 1, T, r, gg, b, d, md, mw, mi, nc)
 
         state = jax.lax.while_loop(cond, body, init)
         _, T, r, gg, b, d, md, mw, mi, nc = state
 
-        out_ref[i, :, 0:1] = r
-        out_ref[i, :, 1:2] = gg
-        out_ref[i, :, 2:3] = b
-        out_ref[i, :, 3:4] = d
-        out_ref[i, :, 4:5] = md
-        out_ref[i, :, 5:6] = mw
-        out_ref[i, :, 6:7] = mi
-        out_ref[i, :, 7:8] = T
-        out_ref[i, :, 8:9] = nc
-        out_ref[i, :, 9:16] = jnp.zeros((TILE_PIXELS, 7), jnp.float32)
+        # one (16, 256) store: 9 state rows + 7 pad rows
+        out_ref[i] = jnp.concatenate(
+            [r, gg, b, d, md, mw, mi, T, nc,
+             jnp.zeros((NUM_OUT - 9, TILE_PIXELS), jnp.float32)],
+            axis=0,
+        )
         return 0
 
     jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
@@ -181,11 +187,11 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
                      tiles_per_prog: int = 16):
-    """Run the tile compositor; returns packed [T, 256, 16] tile outputs.
+    """Run the tile compositor; returns packed [T, 16, 256] tile outputs
+    (channel-major, pixels on lanes).
 
-    Each program handles ``tiles_per_prog`` tiles to amortize the ~5us
-    fixed per-program cost (measured: 8160 single-tile programs cost 39ms
-    even with zero entries).
+    Each program handles ``tiles_per_prog`` tiles to amortize the fixed
+    per-program cost.
     """
     num_tiles = grid_x * grid_y
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
@@ -197,7 +203,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
         grid=(padded // tiles_per_prog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (tiles_per_prog, TILE_PIXELS, NUM_OUT), lambda t, f, c: (t, 0, 0)
+            (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ATTRS, BLOCK), jnp.float32),
@@ -208,7 +214,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
                      tiles_per_prog=tiles_per_prog)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((padded, TILE_PIXELS, NUM_OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
     )(tile_start, tile_count, binned.entry_blocks)
     return out[:num_tiles]
@@ -226,20 +232,20 @@ def rasterize_tiles_fast(pre, grid_x: int, grid_y: int, num_entries: int):
 # --- differentiable wrapper: Pallas forward + XLA reverse-walk backward -----
 
 def _packed_to_tilemajor(packed, num_tiles):
-    """[T,256,16] kernel output -> CompositeOut-style (T+1)-row arrays."""
+    """[T,16,256] kernel output -> CompositeOut-style (T+1)-row arrays."""
     from gaustudio_tpu.ops import rasterize_ref as RR
 
     pad = lambda x, v=0.0: jnp.concatenate(
         [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0
     )
     return RR.CompositeOut(
-        color=pad(packed[:, :, 0:3]),
-        depth=pad(packed[:, :, 3]),
-        median_depth=pad(packed[:, :, 4], rasterize_pallas_median_default()),
-        median_weight=pad(packed[:, :, 5]),
-        median_id=pad(packed[:, :, 6]),
-        final_T=pad(packed[:, :, 7], 1.0),
-        n_contrib=pad(packed[:, :, 8], 0.0).astype(jnp.int32),
+        color=pad(packed[:, 0:3, :].transpose(0, 2, 1)),
+        depth=pad(packed[:, 3, :]),
+        median_depth=pad(packed[:, 4, :], rasterize_pallas_median_default()),
+        median_weight=pad(packed[:, 5, :]),
+        median_id=pad(packed[:, 6, :]),
+        final_T=pad(packed[:, 7, :], 1.0),
+        n_contrib=pad(packed[:, 8, :], 0.0).astype(jnp.int32),
     )
 
 

@@ -82,7 +82,7 @@ def test_pallas_composite_matches_reference(preprocessed):
         packed, _ = jax.jit(
             lambda p: rasterize_pallas.rasterize_tiles_fast(p, gx, gy, 4096)
         )(pre)
-    packed = np.asarray(packed)  # [T, 256, 16]
+    packed = np.asarray(packed).transpose(0, 2, 1)  # [T, 256, 16]
 
     T1 = gx * gy
     np.testing.assert_allclose(

@@ -74,8 +74,8 @@ def test_pallas_backward_matches_xla_reverse_walk():
             ct.depth[:-1][..., None],
             -ct.final_T[:-1][..., None] * 0 + (-ct.final_T[:-1][..., None]),
             ct.median_depth[:-1][..., None],
-            packed[:, :, 7:8],
-            packed[:, :, 8:9],
+            packed[:, 7:8, :].transpose(0, 2, 1),
+            packed[:, 8:9, :].transpose(0, 2, 1),
         ],
         axis=-1,
     )

@@ -71,65 +71,73 @@ def _blocked_cumsum(x):
 # --- monotone run-expand gather (Pallas) ------------------------------------
 
 _SUPER = 8  # slot-blocks handled per expand program (for tiling-legal specs)
+_EXP_F = 16  # attr rows in the expand table (and output columns)
+_EXP_ROWS = 24  # sublane-padded table height
+# window lanes: 8 blocks x 256 max-distinct gaussians + 128 alignment slack,
+# rounded to a lane-tile multiple
+_WIN = _SUPER * BLOCK + 2 * 128
 
 
-def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems, *, F):
-    """8 x 256-slot blocks: DMA the covered contiguous row window once, then
-    select rows data[g - lo] per block with an MXU one-hot matmul."""
+def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems):
+    """8 x 256-slot blocks: DMA the covered contiguous *lane* window of the
+    transposed [24, N] table once (24 useful rows instead of 128 padded
+    lanes — 5x less HBM traffic than the row-window layout), then per block
+    rotate the window so the block's gaussians sit at lane 0 and select
+    rows with an MXU one-hot matmul."""
     sb = pl.program_id(0)
     base_blk = sb * _SUPER
     lo_base = blk_lo_ref[base_blk]
+    aligned = (lo_base // 128) * 128  # HBM lane slices must be 128-aligned
 
-    win_rows = _SUPER * BLOCK + BLOCK  # bound on the window span
     dma_g = pltpu.make_async_copy(
         g_hbm.at[pl.ds(base_blk, _SUPER), :], g_scr, sems.at[0]
     )
-    # NB: the data table is padded to 128 lanes — HBM lane slices must be
-    # 128-aligned on TPU, so we move full 128-lane rows and crop in VMEM.
     dma_d = pltpu.make_async_copy(
-        data_hbm.at[pl.ds(lo_base, win_rows), :], win, sems.at[1]
+        data_hbm.at[:, pl.ds(aligned, _WIN)], win, sems.at[1]
     )
     dma_g.start()
     dma_d.start()
     dma_g.wait()
     dma_d.wait()
 
+    w = win[...]
     for b in range(_SUPER):
         lo_b = blk_lo_ref[base_blk + b]
-        off = lo_b - lo_base
-        g = g_scr[b, :]
-        local = g - lo_b
+        off = lo_b - aligned  # in [0, _WIN - BLOCK]
+        # dynamic left-rotate by `off` == roll right by (_WIN - off) % _WIN
+        blk_cols = pltpu.roll(w, (_WIN - off) % _WIN, axis=1)[:, :BLOCK]
+        blk_t = blk_cols.T  # (24,256)->(256,24), a few-vreg shuffle
+        local = g_scr[b, :] - lo_b
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
             == local[:, None]
         ).astype(jnp.float32)
-        rows = win[pl.ds(off, BLOCK), :]
         # precision=HIGHEST is load-bearing: TPU f32 matmuls default to
         # bf16 MXU passes, which would quantize the selected values (the
-        # `starts` column reaches ~2^21, i.e. +-4096 error in bf16 —
-        # enough to corrupt every tile coordinate downstream). The f32x3
+        # `starts` row reaches ~2^21, i.e. +-4096 error in bf16 — enough
+        # to corrupt every tile coordinate downstream). The f32x3
         # decomposition reproduces one-hot selection exactly.
         sel = jax.lax.dot_general(
-            onehot, rows, (((1,), (0,)), ((), ())),
+            onehot, blk_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        out_ref[0, pl.ds(b * BLOCK, BLOCK), :] = sel[:, :F]
+        out_ref[0, pl.ds(b * BLOCK, BLOCK), :] = sel[:, :_EXP_F]
 
 
-def monotone_expand(data, g, block_lo):
-    """data [N, F], monotone gap-free g [K] -> out [K, F] (reshaped blocks).
+def monotone_expand(table, g, block_lo):
+    """table [_EXP_ROWS, Npad] (attr-major), monotone gap-free g [K] ->
+    out [K, _EXP_F].
 
     ``block_lo[b] = g[b*BLOCK]``; requires g[b*BLOCK+255] - block_lo[b] <
-    BLOCK, guaranteed when every gaussian owns at least one slot.
+    BLOCK, guaranteed when every gaussian owns at least one slot. The
+    table must be lane-padded so that floor(max(block_lo)/128)*128 + _WIN
+    stays in bounds (``expand_table`` handles this).
     """
     K = g.shape[0]
-    F = data.shape[1]
     nb = K // BLOCK
     assert nb % _SUPER == 0
-    # pad rows so the last super-block's fixed window stays in bounds, and
-    # lanes to 128 so HBM row slices are tiling-aligned
-    data_padded = jnp.pad(data, ((0, (_SUPER + 1) * BLOCK), (0, 128 - F)))
+    assert table.shape[0] == _EXP_ROWS and table.shape[1] % 128 == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb // _SUPER,),
@@ -137,19 +145,29 @@ def monotone_expand(data, g, block_lo):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, _SUPER * BLOCK, F), lambda b, lo: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, _SUPER * BLOCK, _EXP_F), lambda b, lo: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((_SUPER, BLOCK), jnp.int32),
-            pltpu.VMEM(((_SUPER + 1) * BLOCK, 128), jnp.float32),
+            pltpu.VMEM((_EXP_ROWS, _WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        partial(_expand_kernel, F=F),
-        out_shape=jax.ShapeDtypeStruct((nb // _SUPER, _SUPER * BLOCK, F), jnp.float32),
+        _expand_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb // _SUPER, _SUPER * BLOCK, _EXP_F), jnp.float32),
         grid_spec=grid_spec,
-    )(block_lo, g.reshape(nb, BLOCK), data_padded)
-    return out.reshape(K, F)
+    )(block_lo, g.reshape(nb, BLOCK), table)
+    return out.reshape(K, _EXP_F)
+
+
+def expand_table(rows):
+    """Stack 1D per-gaussian f32 arrays into the lane-padded [24, Npad]
+    attr-major table the expand kernel consumes."""
+    n = rows[0].shape[0]
+    npad = (-(n) // 128) * -128 + _WIN
+    table = jnp.stack(rows, axis=0)
+    table = jnp.pad(table, ((0, _EXP_ROWS - len(rows)), (0, npad - n)))
+    return table
 
 
 
@@ -219,30 +237,28 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     K = num_entries
     assert K % BLOCK == 0
 
-    # 1. compact by (invalid, depth): surviving gaussians first, depth order
-    invalid = ~pre.valid
-    order = jnp.lexsort((pre.depths, invalid))  # stable: valid-by-depth first
-    # pack per-gaussian attributes once (elementwise, cheap) then permute
-    packed = jnp.stack(
-        [
+    # 1. compact by (invalid, depth) with ONE payload sort (at N gaussians a
+    # payload operand costs ~0.3ms vs ~1ms per random-gather column)
+    invalid = pre.valid.astype(jnp.int32) ^ 1
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    sorted_g = jax.lax.sort(
+        (
+            invalid, pre.depths,
             pre.means2d[:, 0], pre.means2d[:, 1],
             pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
             pre.opacities,
             pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
-            pre.depths,
             jnp.arange(n, dtype=jnp.float32),
-            pre.valid.astype(jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-        ],
-        axis=1,
-    )  # [N, 16]
-    packed = packed[order]
-    tiles_c = pre.tiles_touched[order].astype(jnp.int32)
-    rect_min_c = pre.rect_min[order]
-    rect_w_c = jnp.maximum(pre.rect_max[order, 0] - rect_min_c[:, 0], 1)
+            pre.tiles_touched.astype(jnp.int32),
+            pre.rect_min[:, 0].astype(jnp.float32),
+            pre.rect_min[:, 1].astype(jnp.float32),
+            rect_w.astype(jnp.float32),
+        ),
+        num_keys=2, is_stable=True,
+    )
+    inv_s, dep_s = sorted_g[0], sorted_g[1]
+    tiles_c = sorted_g[12]
+    valid_s = (inv_s == 0).astype(jnp.float32)
 
     # 2. slot -> compact-gaussian map via marker scatter + cumsum
     starts = _blocked_cumsum(tiles_c).astype(jnp.int32)  # exclusive
@@ -254,26 +270,26 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     g = jnp.maximum(g, 0)
     slot_valid = jnp.arange(K) < jnp.minimum(total, K)
 
-    # 3. per-slot attributes via the monotone Pallas expand
-    block_lo = g[::BLOCK]
-    small = jnp.stack(
+    # 3. per-slot attributes via the monotone Pallas expand over the
+    # attr-major table. Rows: 0:mx 1:my 2-4:conic 5:opac 6-8:rgb 9:depth
+    # 10:gid 11:valid 12:start 13:rect_min_x 14:rect_min_y 15:rect_w
+    table = expand_table(
         [
+            sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5], sorted_g[6],
+            sorted_g[7], sorted_g[8], sorted_g[9], sorted_g[10],
+            dep_s, sorted_g[11], valid_s,
             starts.astype(jnp.float32),
-            rect_min_c[:, 0].astype(jnp.float32),
-            rect_min_c[:, 1].astype(jnp.float32),
-            rect_w_c.astype(jnp.float32),
-        ],
-        axis=1,
-    )  # [N, 4]
-    both = jnp.concatenate([packed, small], axis=1)  # [N, 20] -> pad to 24
-    both = jnp.pad(both, ((0, 0), (0, 4)))
-    expanded = monotone_expand(both, g, block_lo)  # [K, 24]
+            sorted_g[13], sorted_g[14], sorted_g[15],
+        ]
+    )
+    block_lo = g[::BLOCK]
+    expanded = monotone_expand(table, g, block_lo)  # [K, 16]
 
     slot = jnp.arange(K, dtype=jnp.int32)
-    j = slot - expanded[:, 16].astype(jnp.int32)  # ordinal within gaussian
-    rw = expanded[:, 19].astype(jnp.int32)
-    tx = expanded[:, 17].astype(jnp.int32) + j % rw
-    ty = expanded[:, 18].astype(jnp.int32) + j // rw
+    j = slot - expanded[:, 12].astype(jnp.int32)  # ordinal within gaussian
+    rw = jnp.maximum(expanded[:, 15].astype(jnp.int32), 1)
+    tx = expanded[:, 13].astype(jnp.int32) + j % rw
+    ty = expanded[:, 14].astype(jnp.int32) + j // rw
     tile = ty * grid_x + tx
     slot_valid = slot_valid & (expanded[:, 11] > 0.5)
 

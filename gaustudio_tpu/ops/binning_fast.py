@@ -46,6 +46,8 @@ class BinnedBlocks(NamedTuple):
     tile_count: jnp.ndarray  # [T] int32 real entries per tile
     sorted_tile: jnp.ndarray  # [K] int32 tile id per sorted entry (backward)
     num_rendered: jnp.ndarray  # [] int32
+    slot_gauss: jnp.ndarray  # [K] int32 slot -> compact gaussian (monotone)
+    compact_gid: jnp.ndarray  # [N] int32 compact order -> original gaussian
 
 
 def _blocked_cumsum(x):
@@ -302,21 +304,26 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     slot_valid = slot_valid & keep
     tile = jnp.where(slot_valid, tile, num_tiles)
 
-    # 4. one stable sort by tile carrying the 11 used attribute payloads.
-    # Sort cost on TPU scales ~linearly with operand count (~2ms/operand at
-    # 2M entries), so the valid flag (derivable from the key: culled entries
-    # were keyed num_tiles) and the 4 pad rows are rebuilt after the sort.
+    # 4. one stable sort by tile carrying the 11 used attribute payloads
+    # plus the pre-sort slot index (row 12; the backward reduction sorts
+    # per-entry gradients back to slot order, where the gaussian map is
+    # monotone). Sort cost on TPU scales ~linearly with operand count
+    # (~2ms/operand at 2M entries), so the valid flag (derivable from the
+    # key: culled entries were keyed num_tiles) and the pad rows are
+    # rebuilt after the sort.
     cols = tuple(expanded[:, a] for a in range(11))
+    cols = cols + (slot.astype(jnp.float32),)
     sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
     sort_tile = sorted_ops[0]
     nb = K // BLOCK
     valid_row = (sort_tile < num_tiles).astype(jnp.float32).reshape(nb, BLOCK)
     zero_row = jnp.zeros((nb, BLOCK), jnp.float32)
     entry_blocks = jnp.stack(
-        [c.reshape(nb, BLOCK) for c in sorted_ops[1:]]
-        + [valid_row, zero_row, zero_row, zero_row, zero_row],
+        [c.reshape(nb, BLOCK) for c in sorted_ops[1:12]]
+        + [valid_row, sorted_ops[12].reshape(nb, BLOCK),
+           zero_row, zero_row, zero_row],
         axis=1,
-    )  # [NB, 16, BLOCK]
+    )  # [NB, 16, BLOCK]; row 12 = original slot index
 
     # per-tile ranges via binary search on the sorted keys: 8k queries cost
     # ~5ms vs ~23ms for either the random scatter `.at[tile].add(1)` or a
@@ -334,6 +341,8 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         tile_count=tile_count,
         sorted_tile=sort_tile,
         num_rendered=total,
+        slot_gauss=g.astype(jnp.int32),
+        compact_gid=sorted_g[11].astype(jnp.int32),
     )
 
 

@@ -284,16 +284,17 @@ def _composite_fast_bwd(grid_x, grid_y, chunk, res, ct):
         from gaustudio_tpu.ops import rasterize_pallas_bwd as BW
 
         num_tiles = grid_x * grid_y
+        # [T, 8, 256]: channel rows, pixels on lanes
         ct_tiles = jnp.concatenate(
             [
-                ct.color[:num_tiles],
-                ct.depth[:num_tiles][..., None],
-                (-ct.final_T[:num_tiles])[..., None],  # dL/d(1-T) convention
-                ct.median_depth[:num_tiles][..., None],
-                final_T[:num_tiles][..., None],
-                n_contrib[:num_tiles].astype(jnp.float32)[..., None],
+                ct.color[:num_tiles].transpose(0, 2, 1),
+                ct.depth[:num_tiles][:, None, :],
+                (-ct.final_T[:num_tiles])[:, None, :],  # dL/d(1-T) convention
+                ct.median_depth[:num_tiles][:, None, :],
+                final_T[:num_tiles][:, None, :],
+                n_contrib[:num_tiles].astype(jnp.float32)[:, None, :],
             ],
-            axis=-1,
+            axis=1,
         )
         grad_blocks = BW.composite_backward_pallas(binned, ct_tiles, bg,
                                                    grid_x, grid_y)

@@ -2,14 +2,22 @@
 
 The training-speed counterpart of the CUDA backward render kernel
 (backward.cu:415-610): per tile, entry blocks are walked back-to-front,
-transmittance is reconstructed by division (backward.cu:535) as a lane
-*suffix* product, and the behind-the-entry accumulators (accum_rec,
-backward.cu:550-580) are lane suffix sums — the mirror image of the forward
-kernel's prefix product.  Per-entry gradients are reduced over the 256
-pixel sublanes and accumulated into per-entry gradient blocks with
-read-modify-write DMA (safe: the TPU grid executes sequentially), then an
-XLA (gid)-keyed sort + segmented sum replaces atomicAdd for the final
-per-Gaussian reduction.
+transmittance is reconstructed by division (backward.cu:535) as an entry-
+axis *suffix* product, and the behind-the-entry accumulators (accum_rec,
+backward.cu:550-580) collapse into ONE suffix sum by pre-dotting the
+per-entry payload with the per-pixel cotangents:
+
+    q_i = w_i * (col_i . dC + dep_i * dD + dO)
+    Sr_e.dCr + Sg_e.dCg + Sb_e.dCb + SD_e.dD + SO_e.dO  ==  suffix_excl(q)
+
+(the same sum reassociated per-entry instead of per-channel), so the five
+suffix scans of the naive translation become two (one product, one sum).
+
+Layout matches the forward kernel: entries on sublanes, pixels on lanes —
+per-pixel carries are (1, 256) single-vreg rows. Per-entry gradients are
+reduced over the 256 pixel lanes and accumulated into per-entry gradient
+blocks with read-modify-write DMA (safe: the TPU grid executes
+sequentially), then reduced per Gaussian (see reduce_entry_grads).
 
 Per-entry gradient block rows (aligned with binning_fast's entry layout):
 0:d_mx 1:d_my 2:d_ca 3:d_cb 4:d_cc 5:d_op 6:d_r 7:d_g 8:d_b 9:d_depth.
@@ -35,23 +43,23 @@ _ALPHA_MAX = 0.99
 _CT = 8  # dr dg db dD dO dMed final_T n_contrib
 
 
-def _suffix_incl_prod(x, lane):
+def _suffix_incl_prod(x, subl):
     cum = x
     sft = 1
     while sft < BLOCK:
-        shifted = pltpu.roll(cum, BLOCK - sft, axis=1)  # == roll by -sft
-        shifted = jnp.where(lane >= BLOCK - sft, 1.0, shifted)
+        shifted = pltpu.roll(cum, BLOCK - sft, axis=0)  # == roll by -sft
+        shifted = jnp.where(subl >= BLOCK - sft, 1.0, shifted)
         cum = cum * shifted
         sft *= 2
     return cum
 
 
-def _suffix_incl_sum(x, lane):
+def _suffix_incl_sum(x, subl):
     cum = x
     sft = 1
     while sft < BLOCK:
-        shifted = pltpu.roll(cum, BLOCK - sft, axis=1)  # == roll by -sft
-        shifted = jnp.where(lane >= BLOCK - sft, 0.0, shifted)
+        shifted = pltpu.roll(cum, BLOCK - sft, axis=0)  # == roll by -sft
+        shifted = jnp.where(subl >= BLOCK - sft, 0.0, shifted)
         cum = cum + shifted
         sft *= 2
     return cum
@@ -61,10 +69,10 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
                      blocks_hbm, grads_out, scratch, gscr, sems, gsem,
                      *, grid_x: int, tiles_per_prog: int):
     g_prog = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-    q = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, 1), 0)
-    qx = (q % TILE_X).astype(jnp.float32)
-    qy = (q // TILE_X).astype(jnp.float32)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+    q_pix = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
+    qx = (q_pix % TILE_X).astype(jnp.float32)
+    qy = (q_pix // TILE_X).astype(jnp.float32)
 
     def tile_body(i, _):
         t = g_prog * tiles_per_prog + i
@@ -78,16 +86,16 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
         px = tx * TILE_X + qx
         py = ty * TILE_Y + qy
 
-        ct = ct_ref[i]  # (256, 8)
-        dCr = ct[:, 0:1]
-        dCg = ct[:, 1:2]
-        dCb = ct[:, 2:3]
-        dD = ct[:, 3:4]
-        dO = ct[:, 4:5]
-        dMed = ct[:, 5:6]
-        Tf = ct[:, 6:7]
-        nc = ct[:, 7:8]
-        bgdot = bg_ref[0] * dCr + bg_ref[1] * dCg + bg_ref[2] * dCb  # (256,1)
+        ct = ct_ref[i]  # (8, 256): channel rows, pixel lanes
+        dCr = ct[0:1, :]
+        dCg = ct[1:2, :]
+        dCb = ct[2:3, :]
+        dD = ct[3:4, :]
+        dO = ct[4:5, :]
+        dMed = ct[5:6, :]
+        Tf = ct[6:7, :]
+        nc = ct[7:8, :]
+        bgdot = bg_ref[0] * dCr + bg_ref[1] * dCg + bg_ref[2] * dCb  # (1,256)
 
         def get_dma(slot, blk_idx):
             return pltpu.make_async_copy(
@@ -100,19 +108,15 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
         init = (
             jnp.zeros((), jnp.int32),  # reverse step r: block index = n_blocks-1-r
-            Tf + jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # T after stream
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # S_r
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # S_g
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # S_b
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # SD
-            jnp.zeros((TILE_PIXELS, 1), jnp.float32),  # SO
+            Tf + jnp.zeros((1, TILE_PIXELS), jnp.float32),  # T after stream
+            jnp.zeros((1, TILE_PIXELS), jnp.float32),  # Sq (pre-dotted suffix)
         )
 
         def cond(state):
             return state[0] < n_blocks
 
         def body(state):
-            r, Tc, Sr, Sg, Sb, SD, SO = state
+            r, Tc, Sq = state
             c = n_blocks - 1 - r
             slot = r % 2
 
@@ -121,26 +125,26 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
                 get_dma((r + 1) % 2, c - 1).start()
 
             get_dma(slot, c).wait()
-            blk = scratch[slot]  # (16, BLOCK)
+            blk = scratch[slot].T  # (16, BLOCK) -> (BLOCK, 16)
 
-            mx = blk[0:1, :]
-            my = blk[1:2, :]
-            ca = blk[2:3, :]
-            cb = blk[3:4, :]
-            cc = blk[4:5, :]
-            op = blk[5:6, :]
-            col_r = blk[6:7, :]
-            col_g = blk[7:8, :]
-            col_b = blk[8:9, :]
-            dep = blk[9:10, :]
-            vld = blk[11:12, :]
+            mx = blk[:, 0:1]
+            my = blk[:, 1:2]
+            ca = blk[:, 2:3]
+            cb = blk[:, 3:4]
+            cc = blk[:, 4:5]
+            op = blk[:, 5:6]
+            col_r = blk[:, 6:7]
+            col_g = blk[:, 7:8]
+            col_b = blk[:, 8:9]
+            dep = blk[:, 9:10]
+            vld = blk[:, 11:12]
 
-            dx = mx - px
+            dx = mx - px  # (BLOCK, 256): entries x pixels
             dy = my - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-            pos = (b0 + c) * BLOCK + lane - start
+            pos = (b0 + c) * BLOCK + subl - start
             in_range = (pos >= 0) & (pos < count)
             alpha = jnp.where(
                 (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
@@ -151,28 +155,16 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
             one_m = 1.0 - alpha
             factor = jnp.where(contrib, one_m, 1.0)
-            revincl = _suffix_incl_prod(factor, lane)
+            revincl = _suffix_incl_prod(factor, subl)
             Tb = Tc / revincl  # transmittance BEFORE each entry (test_T)
             w = jnp.where(contrib, alpha * Tb, 0.0)
 
-            wc_r = w * col_r
-            wc_g = w * col_g
-            wc_b = w * col_b
-            wd = w * dep
+            # pre-dotted payload: col.dC + dep.dD + dO per (entry, pixel)
+            payload = col_r * dCr + col_g * dCg + col_b * dCb + dep * dD + dO
+            q = w * payload
+            Sq_e = Sq + _suffix_incl_sum(q, subl) - q
 
-            Sr_e = Sr + _suffix_incl_sum(wc_r, lane) - wc_r
-            Sg_e = Sg + _suffix_incl_sum(wc_g, lane) - wc_g
-            Sb_e = Sb + _suffix_incl_sum(wc_b, lane) - wc_b
-            SD_e = SD + _suffix_incl_sum(wd, lane) - wd
-            SO_e = SO + _suffix_incl_sum(w, lane) - w
-
-            dL_dalpha = (
-                Tb * (col_r * dCr + col_g * dCg + col_b * dCb)
-                - (Sr_e * dCr + Sg_e * dCg + Sb_e * dCb) / one_m
-                + Tb * dep * dD - SD_e / one_m * dD
-                + Tb * dO - SO_e / one_m * dO
-                - Tf / one_m * bgdot
-            )
+            dL_dalpha = Tb * payload - Sq_e / one_m - Tf / one_m * bgdot
             dL_dalpha = jnp.where(contrib, dL_dalpha, 0.0)
 
             T_after = Tb * one_m
@@ -180,16 +172,16 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
             dL_dG = op * dL_dalpha
             dpow = Ge * dL_dG
-            d_mx = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-            d_my = jnp.sum(dpow * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
-            d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-            d_cb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-            d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-            d_op = jnp.sum(Ge * dL_dalpha, axis=0, keepdims=True)
-            d_r = jnp.sum(w * dCr, axis=0, keepdims=True)
-            d_g = jnp.sum(w * dCg, axis=0, keepdims=True)
-            d_b = jnp.sum(w * dCb, axis=0, keepdims=True)
-            d_dep = jnp.sum(w * dD + jnp.where(cross, dMed, 0.0), axis=0,
+            d_mx = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+            d_my = jnp.sum(dpow * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+            d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+            d_cb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+            d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+            d_op = jnp.sum(Ge * dL_dalpha, axis=1, keepdims=True)
+            d_r = jnp.sum(w * dCr, axis=1, keepdims=True)
+            d_g = jnp.sum(w * dCg, axis=1, keepdims=True)
+            d_b = jnp.sum(w * dCb, axis=1, keepdims=True)
+            d_dep = jnp.sum(w * dD + jnp.where(cross, dMed, 0.0), axis=1,
                             keepdims=True)
 
             # accumulate into the per-entry gradient block (RMW; the grid is
@@ -200,32 +192,24 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             gnew = gscr[:, :]
             upd = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_dep,
-                 jnp.zeros((6, BLOCK), jnp.float32)],
-                axis=0,
-            )
+                 jnp.zeros((BLOCK, 6), jnp.float32)],
+                axis=1,
+            ).T  # (BLOCK, 16) -> (16, BLOCK)
             gscr[:, :] = gnew + upd
             wr = pltpu.make_async_copy(gscr, grads_out.at[b0 + c], gsem)
             wr.start()
             wr.wait()
 
-            # carries: transmittance before this block's first entry (lane 0
-            # of Tb) and the grown suffix sums (whole-block contributions)
-            Tc = Tb[:, 0:1]
-            Sr = Sr + _block_total(wc_r)
-            Sg = Sg + _block_total(wc_g)
-            Sb = Sb + _block_total(wc_b)
-            SD = SD + _block_total(wd)
-            SO = SO + _block_total(w)
-            return (r + 1, Tc, Sr, Sg, Sb, SD, SO)
+            # carries: transmittance before this block's first entry (subl 0
+            # of Tb) and the grown pre-dotted suffix sum
+            Tc = Tb[0:1, :]
+            Sq = Sq + jnp.sum(q, axis=0, keepdims=True)
+            return (r + 1, Tc, Sq)
 
         jax.lax.while_loop(cond, body, init)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
-
-
-def _block_total(x):
-    return jnp.sum(x, axis=1, keepdims=True)
 
 
 def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
@@ -234,8 +218,9 @@ def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
     """Per-entry gradient blocks [NB, 16, BLOCK] (rows per module docstring).
 
     Args:
-        ct_tiles: [T, 256, 8] packed per-tile cotangents + forward state
-            (dr dg db dD dO dMed final_T n_contrib).
+        ct_tiles: [T, 8, 256] packed per-tile cotangents + forward state
+            (channel rows dr dg db dD dO dMed final_T n_contrib, pixels on
+            lanes).
         bg: [3] background color (for the reference bg gradient term).
     """
     num_tiles = grid_x * grid_y
@@ -254,7 +239,7 @@ def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
         grid=(padded // tiles_per_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tiles_per_prog, TILE_PIXELS, _CT),
+            pl.BlockSpec((tiles_per_prog, _CT, TILE_PIXELS),
                          lambda t, s, c, b: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -279,29 +264,152 @@ def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
     )(tile_start, tile_count, bg8, grads_zero, ct_tiles, binned.entry_blocks)
 
 
-def reduce_entry_grads(grad_blocks, binned: BinnedBlocks, num_gaussians: int):
-    """Per-entry gradient blocks -> per-Gaussian gradients.
+# --- per-Gaussian gradient reduction ----------------------------------------
+#
+# The TPU substitute for backward.cu's atomicAdd. Sorted segment_sum is
+# pathological on XLA-TPU (~15ms per column at 2.2M -> 150-220ms for the 10
+# gradient columns), so instead:
+#   1. sort the flat per-entry gradients back to SLOT order (the slot index
+#      rides in entry row 12 through the tile sort) — in slot order the
+#      slot->gaussian map `g` is monotone and gap-free;
+#   2. a Pallas kernel reduces each 256-slot block onto its <=256-gaussian
+#      window with one one-hot MXU matmul and accumulates program-local
+#      windows into an attr-major [16, Npad] table with RMW lane-window DMA
+#      (race-free: sequential grid);
+#   3. one small scatter maps compact gaussian order back to original ids.
 
-    The TPU substitute for backward.cu's atomicAdd: sort the flat per-entry
-    gradients by gaussian id (XLA radix sort), then a sorted segmented sum.
+_SEG_SUPER = 8  # slot-blocks per segment-reduce program
+_SEG_WIN = _SEG_SUPER * BLOCK + 2 * 128  # gaussian window lanes (aligned)
+
+
+def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
+                      g_scr, gr_scr, win, sems):
+    sb = pl.program_id(0)
+    base_blk = sb * _SEG_SUPER
+    lo_base = blk_lo_ref[base_blk]
+    aligned = (lo_base // 128) * 128
+
+    dma_g = pltpu.make_async_copy(
+        g_hbm.at[pl.ds(base_blk, _SEG_SUPER), :], g_scr, sems.at[0]
+    )
+    dma_d = pltpu.make_async_copy(
+        grads_hbm.at[:, pl.ds(base_blk * BLOCK, _SEG_SUPER * BLOCK)],
+        gr_scr, sems.at[1],
+    )
+    # RMW read of the overlapping output window must observe the previous
+    # program's write — guaranteed by the sequential ("arbitrary") grid.
+    dma_r = pltpu.make_async_copy(
+        out_in.at[:, pl.ds(aligned, _SEG_WIN)], win, sems.at[2]
+    )
+    dma_g.start()
+    dma_d.start()
+    dma_r.start()
+    dma_g.wait()
+    dma_d.wait()
+
+    # attr-major accumulator: [16, _SEG_WIN] keeps every op lane-dense
+    acc = jnp.zeros((NUM_ATTRS, _SEG_WIN), jnp.float32)
+    for b in range(_SEG_SUPER):
+        lo_b = blk_lo_ref[base_blk + b]
+        off = lo_b - aligned
+        local = g_scr[b, :] - lo_b  # [256] in [0, 256)
+        # onehot: [slot, gauss_window_col] — col r sums slots with local==r
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+            == local[:, None]
+        ).astype(jnp.float32)
+        gblk = gr_scr[:, b * BLOCK:(b + 1) * BLOCK]  # [16, 256 slots]
+        partial = jax.lax.dot_general(
+            gblk, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [16, 256 gaussians]
+        block_acc = jnp.concatenate(
+            [partial, jnp.zeros((NUM_ATTRS, _SEG_WIN - BLOCK), jnp.float32)],
+            axis=1,
+        )
+        # shift to the gaussian offset within the window (dynamic lane roll)
+        acc = acc + pltpu.roll(block_acc, off % _SEG_WIN, axis=1)
+
+    dma_r.wait()
+    win[...] = win[...] + acc
+    wr = pltpu.make_async_copy(win, out_hbm.at[:, pl.ds(aligned, _SEG_WIN)],
+                               sems.at[2])
+    wr.start()
+    wr.wait()
+
+
+def segment_reduce_compact(grads_table, g, block_lo, num_gaussians: int):
+    """Sum slot-ordered gradient rows per compact gaussian.
+
+    Args:
+        grads_table: [16, K] attr-major slot-ordered gradients.
+        g: [K] monotone slot -> compact gaussian map.
+        block_lo: g[::BLOCK].
+        num_gaussians: N.
+
+    Returns [N, 16] sums in compact order.
     """
-    flat_g = grad_blocks.transpose(0, 2, 1).reshape(-1, NUM_ATTRS)[:, :10]
-    flat_e = binned.entry_blocks.transpose(0, 2, 1).reshape(-1, NUM_ATTRS)
-    gid = flat_e[:, 10].astype(jnp.int32)
-    valid = flat_e[:, 11] > 0.5
-    key = jnp.where(valid, gid, num_gaussians)
+    K = g.shape[0]
+    nb = K // BLOCK
+    assert nb % _SEG_SUPER == 0
+    npad = -(-num_gaussians // 128) * 128 + _SEG_WIN
+    zeros = jnp.zeros((NUM_ATTRS, npad), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb // _SEG_SUPER,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((_SEG_SUPER, BLOCK), jnp.int32),
+            pltpu.VMEM((NUM_ATTRS, _SEG_SUPER * BLOCK), jnp.float32),
+            pltpu.VMEM((NUM_ATTRS, _SEG_WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _segreduce_kernel,
+        out_shape=jax.ShapeDtypeStruct((NUM_ATTRS, npad), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(block_lo, g.reshape(nb, BLOCK), grads_table, zeros)
+    return out[:, :num_gaussians].T
+
+
+def reduce_entry_grads(grad_blocks, binned: BinnedBlocks, num_gaussians: int):
+    """Per-entry gradient blocks -> per-Gaussian gradients (original order)."""
+    flat_g = grad_blocks.transpose(0, 2, 1).reshape(-1, NUM_ATTRS)
+    slot_key = (
+        binned.entry_blocks[:, 12, :].reshape(-1).astype(jnp.int32)
+    )  # entry row 12 carries the pre-tile-sort slot index
 
     cols = tuple(flat_g[:, a] for a in range(10))
-    sorted_ops = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
-    skey = sorted_ops[0]
-    sums = [
-        jax.ops.segment_sum(c, skey, num_segments=num_gaussians + 1,
-                            indices_are_sorted=True)[:num_gaussians]
-        for c in sorted_ops[1:]
-    ]
-    d_means2d = jnp.stack([sums[0], sums[1]], -1)
-    d_conic = jnp.stack([sums[2], sums[3], sums[4]], -1)
-    d_opac = sums[5]
-    d_colors = jnp.stack([sums[6], sums[7], sums[8]], -1)
-    d_depths = sums[9]
+    sorted_ops = jax.lax.sort((slot_key,) + cols, num_keys=1, is_stable=True)
+    table = jnp.concatenate(
+        [
+            jnp.stack(sorted_ops[1:], axis=0),
+            jnp.zeros((NUM_ATTRS - 10, slot_key.shape[0]), jnp.float32),
+        ],
+        axis=0,
+    )  # [16, K] slot-ordered
+    sums_c = segment_reduce_compact(
+        table, binned.slot_gauss, binned.slot_gauss[::BLOCK], num_gaussians
+    )  # [N, 16] compact order
+    # compact -> original id (a permutation; one small unique scatter)
+    sums = jnp.zeros((num_gaussians, NUM_ATTRS), jnp.float32).at[
+        binned.compact_gid
+    ].set(sums_c, mode="drop", unique_indices=True)
+
+    d_means2d = sums[:, 0:2]
+    d_conic = sums[:, 2:5]
+    d_opac = sums[:, 5]
+    d_colors = sums[:, 6:9]
+    d_depths = sums[:, 9]
     return d_means2d, d_conic, d_colors, d_depths, d_opac

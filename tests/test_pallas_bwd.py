@@ -70,14 +70,14 @@ def test_pallas_backward_matches_xla_reverse_walk():
     # Pallas backward
     ct_tiles = jnp.concatenate(
         [
-            ct.color[:-1],
-            ct.depth[:-1][..., None],
-            -ct.final_T[:-1][..., None] * 0 + (-ct.final_T[:-1][..., None]),
-            ct.median_depth[:-1][..., None],
-            packed[:, 7:8, :].transpose(0, 2, 1),
-            packed[:, 8:9, :].transpose(0, 2, 1),
+            ct.color[:-1].transpose(0, 2, 1),
+            ct.depth[:-1][:, None, :],
+            -ct.final_T[:-1][:, None, :],
+            ct.median_depth[:-1][:, None, :],
+            packed[:, 7:8, :],
+            packed[:, 8:9, :],
         ],
-        axis=-1,
+        axis=1,
     )
     # NB: dO = -d(final_T) convention handled by caller; here ct.final_T is
     # the raw final_T cotangent, so dO = -ct.final_T

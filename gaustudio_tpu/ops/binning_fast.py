@@ -41,9 +41,11 @@ NUM_ATTRS = 16
 
 
 class BinnedBlocks(NamedTuple):
-    entry_blocks: jnp.ndarray  # [NB, 16, BLOCK] f32 attr-major entry data
-    tile_start: jnp.ndarray  # [T] int32 first entry index of each tile
+    flat_entries: jnp.ndarray  # [16, K] f32 attr-major tile-sorted entries
+    aligned_blocks: jnp.ndarray  # [NB_AL, 16, BLOCK] 256-aligned tile runs
+    tile_start: jnp.ndarray  # [T] int32 first flat entry of each tile
     tile_count: jnp.ndarray  # [T] int32 real entries per tile
+    ablock_start: jnp.ndarray  # [T] int32 first ALIGNED block of each tile
     sorted_tile: jnp.ndarray  # [K] int32 tile id per sorted entry (backward)
     num_rendered: jnp.ndarray  # [] int32
     slot_gauss: jnp.ndarray  # [K] int32 slot -> compact gaussian (monotone)
@@ -85,31 +87,54 @@ def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems):
     transposed [24, N] table once (24 useful rows instead of 128 padded
     lanes — 5x less HBM traffic than the row-window layout), then per block
     rotate the window so the block's gaussians sit at lane 0 and select
-    rows with an MXU one-hot matmul."""
+    rows with an MXU one-hot matmul.
+
+    Windows are double-buffered ACROSS programs (program p prefetches
+    p+1's window) — without this the kernel is bound by one serial DMA
+    round-trip per program (~9 ms for the whole pass at 1080p)."""
     sb = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    def window_dmas(p, slot):
+        base = p * _SUPER
+        aligned_p = (blk_lo_ref[base] // 128) * 128  # 128-aligned lane slice
+        return (
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(base, _SUPER), :], g_scr.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                data_hbm.at[:, pl.ds(aligned_p, _WIN)], win.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(sb == 0)
+    def _():
+        for dma in window_dmas(0, 0):
+            dma.start()
+
+    @pl.when(sb + 1 < nprog)
+    def _():
+        for dma in window_dmas(sb + 1, (sb + 1) % 2):
+            dma.start()
+
+    slot = sb % 2
+    for dma in window_dmas(sb, slot):
+        dma.wait()
+
     base_blk = sb * _SUPER
     lo_base = blk_lo_ref[base_blk]
-    aligned = (lo_base // 128) * 128  # HBM lane slices must be 128-aligned
+    aligned = (lo_base // 128) * 128
 
-    dma_g = pltpu.make_async_copy(
-        g_hbm.at[pl.ds(base_blk, _SUPER), :], g_scr, sems.at[0]
-    )
-    dma_d = pltpu.make_async_copy(
-        data_hbm.at[:, pl.ds(aligned, _WIN)], win, sems.at[1]
-    )
-    dma_g.start()
-    dma_d.start()
-    dma_g.wait()
-    dma_d.wait()
-
-    w = win[...]
+    w = win[slot]
     for b in range(_SUPER):
         lo_b = blk_lo_ref[base_blk + b]
         off = lo_b - aligned  # in [0, _WIN - BLOCK]
         # dynamic left-rotate by `off` == roll right by (_WIN - off) % _WIN
         blk_cols = pltpu.roll(w, (_WIN - off) % _WIN, axis=1)[:, :BLOCK]
         blk_t = blk_cols.T  # (24,256)->(256,24), a few-vreg shuffle
-        local = g_scr[b, :] - lo_b
+        local = g_scr[slot, b, :] - lo_b
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
             == local[:, None]
@@ -149,9 +174,9 @@ def monotone_expand(table, g, block_lo):
         ],
         out_specs=pl.BlockSpec((1, _SUPER * BLOCK, _EXP_F), lambda b, lo: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_SUPER, BLOCK), jnp.int32),
-            pltpu.VMEM((_EXP_ROWS, _WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, _SUPER, BLOCK), jnp.int32),
+            pltpu.VMEM((2, _EXP_ROWS, _WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -172,6 +197,84 @@ def expand_table(rows):
     return table
 
 
+
+
+# --- 256-aligned run realignment (Pallas) ------------------------------------
+#
+# The compositors walk each tile's entry run in 256-entry blocks. With runs
+# at arbitrary offsets every tile pays ~0.64 extra boundary blocks of full
+# block math (~2.4 us each), and backward grad blocks shared by adjacent
+# tiles force serialized read-modify-write DMA. Realigning every tile's run
+# to a 256-multiple start removes both: at 1080p/1.35M visible entries this
+# cuts block-iterations from ~13.4k to ~8.7k.
+
+_RA_SUPER = 8  # dest blocks per realign program
+# src_lo is monotone with steps <= 256 per dest block, so 8 dest blocks are
+# covered by one window of 8*256 lanes + 128 alignment slack + 128 rounding
+_RA_WIN = _RA_SUPER * BLOCK + 2 * 128
+
+
+def _realign_kernel(srclo_ref, vcnt_ref, flat_hbm, out_ref, win, sems, *,
+                    k_total: int):
+    p = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    def window_dma(q, slot):
+        lo = srclo_ref[q * _RA_SUPER]
+        # multiply-last so Mosaic can prove the lane offset is 128-aligned
+        al = jnp.minimum(lo // 128, (k_total - _RA_WIN) // 128) * 128
+        return pltpu.make_async_copy(
+            flat_hbm.at[:, pl.ds(al, _RA_WIN)], win.at[slot], sems.at[slot]
+        )
+
+    @pl.when(p == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(p + 1 < nprog)
+    def _():
+        window_dma(p + 1, (p + 1) % 2).start()
+
+    window_dma(p, p % 2).wait()
+
+    lo0 = srclo_ref[p * _RA_SUPER]
+    al = jnp.minimum(lo0 // 128, (k_total - _RA_WIN) // 128) * 128
+    w = win[p % 2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NUM_ATTRS, BLOCK), 1)
+    for b in range(_RA_SUPER):
+        off = srclo_ref[p * _RA_SUPER + b] - al  # in [0, _RA_WIN - BLOCK]
+        blk = pltpu.roll(w, (_RA_WIN - off) % _RA_WIN, axis=1)[:, :BLOCK]
+        vcnt = vcnt_ref[p * _RA_SUPER + b]
+        out_ref[0, b] = jnp.where(lane < vcnt, blk, 0.0)
+
+
+def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
+    """Gather [16, K] flat tile-sorted entries into 256-aligned per-tile
+    blocks [nb_al, 16, BLOCK]; rows beyond a tile's real count are zeroed
+    (row 11 'valid' therefore reads 0 on padding)."""
+    K = flat_entries.shape[1]
+    assert nb_al % _RA_SUPER == 0
+    assert K >= _RA_WIN, "num_entries must cover one realign window"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb_al // _RA_SUPER,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, _RA_SUPER, NUM_ATTRS, BLOCK), lambda p, s, v: (p, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_ATTRS, _RA_WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_realign_kernel, k_total=K),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb_al // _RA_SUPER, _RA_SUPER, NUM_ATTRS, BLOCK), jnp.float32
+        ),
+        grid_spec=grid_spec,
+    )(src_lo, vcnt, flat_entries)
+    return out.reshape(nb_al, NUM_ATTRS, BLOCK)
 
 
 _TILE = 16  # pixel tile edge (gaussian.TILE_X)
@@ -268,7 +371,9 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     marker = jnp.zeros((K,), jnp.int32)
     put = jnp.where((tiles_c > 0) & (starts < K), starts, K)
     marker = marker.at[put].add(1, mode="drop")
-    g = jnp.cumsum(marker) - 1  # [K] monotone, gap-free over valid slots
+    # blocked MXU cumsum: jnp.cumsum at 2.2M costs ~3.2ms on XLA-TPU, the
+    # two-level matmul scan ~0.3ms (exact in f32: marker sums < 2^24)
+    g = _blocked_cumsum(marker).astype(jnp.int32) + marker - 1  # inclusive
     g = jnp.maximum(g, 0)
     slot_valid = jnp.arange(K) < jnp.minimum(total, K)
 
@@ -315,30 +420,47 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     cols = cols + (slot.astype(jnp.float32),)
     sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
     sort_tile = sorted_ops[0]
-    nb = K // BLOCK
-    valid_row = (sort_tile < num_tiles).astype(jnp.float32).reshape(nb, BLOCK)
-    zero_row = jnp.zeros((nb, BLOCK), jnp.float32)
-    entry_blocks = jnp.stack(
-        [c.reshape(nb, BLOCK) for c in sorted_ops[1:12]]
-        + [valid_row, sorted_ops[12].reshape(nb, BLOCK),
-           zero_row, zero_row, zero_row],
-        axis=1,
-    )  # [NB, 16, BLOCK]; row 12 = original slot index
+    valid_row = (sort_tile < num_tiles).astype(jnp.float32)
+    zero_row = jnp.zeros((K,), jnp.float32)
+    flat_entries = jnp.stack(
+        list(sorted_ops[1:12])
+        + [valid_row, sorted_ops[12], zero_row, zero_row, zero_row],
+        axis=0,
+    )  # [16, K]; row 12 = original slot index
 
     # per-tile ranges via binary search on the sorted keys: 8k queries cost
-    # ~5ms vs ~23ms for either the random scatter `.at[tile].add(1)` or a
-    # sorted segment_sum (XLA-TPU ignores indices_are_sorted), and the
-    # positions give tile_start directly (no cumsum)
+    # ~6ms vs ~23ms for either the random scatter `.at[tile].add(1)` or a
+    # sorted segment_sum (XLA-TPU ignores indices_are_sorted); an MXU
+    # one-hot histogram scan measures no better (5.7ms — the one-hot
+    # construction dominates), so the positions come from searchsorted,
+    # which also yields tile_start directly (no cumsum)
     pos = jnp.searchsorted(
         sort_tile, jnp.arange(num_tiles + 1, dtype=sort_tile.dtype)
     ).astype(jnp.int32)
     tile_start = pos[:num_tiles]
     tile_count = pos[1:] - pos[:-1]
 
+    # 5. realign every tile's run to a 256-multiple start (see realign_runs)
+    nb_al = aligned_capacity(K, num_tiles)
+    abpt = (tile_count + BLOCK - 1) // BLOCK  # aligned blocks per tile
+    ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
+    # dest block -> owning tile: marker scatter + cumsum over [nb_al]
+    # (ties from empty tiles resolve to the last = the real owner)
+    bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(
+        1, mode="drop"
+    )
+    blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
+    blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
+    src_lo = tile_start[blk_tile] + blk_k * BLOCK
+    vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
+    aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+
     return BinnedBlocks(
-        entry_blocks=entry_blocks,
+        flat_entries=flat_entries,
+        aligned_blocks=aligned_blocks,
         tile_start=tile_start,
         tile_count=tile_count,
+        ablock_start=ablock_start,
         sorted_tile=sort_tile,
         num_rendered=total,
         slot_gauss=g.astype(jnp.int32),
@@ -346,13 +468,19 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     )
 
 
+def aligned_capacity(num_entries: int, num_tiles: int) -> int:
+    """Static block capacity of the 256-aligned layout: every tile can waste
+    at most BLOCK-1 slots, rounded up so the realign grid divides evenly."""
+    nb = num_entries // BLOCK + num_tiles
+    return -(-nb // _RA_SUPER) * _RA_SUPER
+
+
 def compat_arrays(binned: BinnedBlocks, grid_x: int, grid_y: int):
-    """Flatten the sorted block layout into rasterize_ref-style entry arrays
+    """Expose the flat sorted layout as rasterize_ref-style entry arrays
     (gid, tile, valid, tile_start) so the XLA reverse-walk backward can run
     against the Pallas forward's binning."""
     num_tiles = grid_x * grid_y
-    flat = binned.entry_blocks.transpose(0, 2, 1).reshape(-1, NUM_ATTRS)
-    gid = flat[:, 10].astype(jnp.int32)
+    gid = binned.flat_entries[10].astype(jnp.int32)
     tile = binned.sorted_tile
-    valid = (flat[:, 11] > 0.5) & (tile < num_tiles)
+    valid = (binned.flat_entries[11] > 0.5) & (tile < num_tiles)
     return gid, tile, valid, binned.tile_start

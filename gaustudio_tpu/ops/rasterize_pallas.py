@@ -46,7 +46,7 @@ _MEDIAN_DEFAULT = 15.0
 NUM_OUT = 16
 
 
-def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
+def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int):
     g = pl.program_id(0)
     # entries on sublanes: per-entry masks are (BLOCK, 1) columns
@@ -56,12 +56,31 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
     qx = (q % TILE_X).astype(jnp.float32)
     qy = (q // TILE_X).astype(jnp.float32)
 
+    # DMA slot layout: slots 0/1 ping-pong for blocks >= 1 of the current
+    # tile; slots 2/3 hold tiles' FIRST blocks, prefetched one tile ahead so
+    # the per-tile pipeline restart does not stall on HBM latency.
+    def tile_meta(t):
+        return ablock_ref[t], (count_ref[t] + BLOCK - 1) // BLOCK
+
+    def start_first_dma(i, t):
+        b0, nb = tile_meta(t)
+
+        @pl.when(nb > 0)
+        def _():
+            pltpu.make_async_copy(
+                blocks_hbm.at[b0], scratch.at[2 + i % 2], sems.at[2 + i % 2]
+            ).start()
+
+    start_first_dma(0, g * tiles_per_prog)
+
     def tile_body(i, _):
         t = g * tiles_per_prog + i
-        start = start_ref[t]
         count = count_ref[t]
-        b0 = start // BLOCK
-        n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
+        b0, n_blocks = tile_meta(t)
+
+        @pl.when(i + 1 < tiles_per_prog)
+        def _():
+            start_first_dma(i + 1, t + 1)
 
         tx = (t % grid_x).astype(jnp.float32)
         ty = (t // grid_x).astype(jnp.float32)
@@ -74,10 +93,6 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 scratch.at[slot],
                 sems.at[slot],
             )
-
-        @pl.when(n_blocks > 0)
-        def _():
-            get_dma(0, 0).start()
 
         row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
         init = (
@@ -99,7 +114,8 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
         def body(state):
             c, T, r, gg, b, d, md, mw, mi, nc = state
-            slot = c % 2
+            # first block was prefetched into slot 2 + i%2 one tile ahead
+            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
 
             @pl.when(c + 1 < n_blocks)
             def _():
@@ -126,10 +142,10 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-            pos = (b0 + c) * BLOCK + subl - start  # position within the tile
-            in_range = (pos >= 0) & (pos < count)
+            pos = c * BLOCK + subl  # position within the (aligned) tile run
+            # realign zeroes padding rows (vld = 0), so no in_range test
             alpha = jnp.where(
-                (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
+                (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5),
                 0.0,
                 alpha,
             )
@@ -172,7 +188,14 @@ def _composite_kernel(start_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             return (c + 1, T, r, gg, b, d, md, mw, mi, nc)
 
         state = jax.lax.while_loop(cond, body, init)
-        _, T, r, gg, b, d, md, mw, mi, nc = state
+        c_fin, T, r, gg, b, d, md, mw, mi, nc = state
+
+        # early T-saturation exit leaves the block-(c_fin) prefetch in
+        # flight; drain it so its semaphore signal cannot be mistaken for a
+        # later tile's copy into the same slot
+        @pl.when((c_fin > 0) & (c_fin < n_blocks))
+        def _():
+            get_dma(c_fin % 2, c_fin).wait()
 
         # one (16, 256) store: 9 state rows + 7 pad rows
         out_ref[i] = jnp.concatenate(
@@ -196,7 +219,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
     num_tiles = grid_x * grid_y
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
     pad = padded - num_tiles
-    tile_start = jnp.pad(binned.tile_start, (0, pad))
+    ablock_start = jnp.pad(binned.ablock_start, (0, pad))
     tile_count = jnp.pad(binned.tile_count, (0, pad))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -206,8 +229,8 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
             (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_ATTRS, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, NUM_ATTRS, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = partial(_composite_kernel, grid_x=grid_x,
@@ -216,7 +239,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
         kernel,
         out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
-    )(tile_start, tile_count, binned.entry_blocks)
+    )(ablock_start, tile_count, binned.aligned_blocks)
     return out[:num_tiles]
 
 

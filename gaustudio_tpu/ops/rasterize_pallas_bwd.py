@@ -66,13 +66,33 @@ def _suffix_incl_sum(x, subl):
 
 
 def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
-                     blocks_hbm, grads_out, scratch, gscr, sems, gsem,
-                     *, grid_x: int, tiles_per_prog: int):
+                     blocks_hbm, grads_out, scratch, gscr, sems, gsem_r,
+                     gsem_w, *, grid_x: int, tiles_per_prog: int):
     g_prog = pl.program_id(0)
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     q_pix = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     qx = (q_pix % TILE_X).astype(jnp.float32)
     qy = (q_pix // TILE_X).astype(jnp.float32)
+
+    # entry-block slots 0/1 ping-pong within a tile; slots 2/3 hold tiles'
+    # LAST blocks (the reverse walk's first read), prefetched one tile ahead
+    def tile_meta(t):
+        start = start_ref[t]
+        count = count_ref[t]
+        b0 = start // BLOCK
+        return b0, (start + count + BLOCK - 1) // BLOCK - b0
+
+    def start_last_dma(i, t):
+        b0, nb = tile_meta(t)
+
+        @pl.when(nb > 0)
+        def _():
+            pltpu.make_async_copy(
+                blocks_hbm.at[:, pl.ds((b0 + nb - 1) * BLOCK, BLOCK)],
+                scratch.at[2 + i % 2], sems.at[2 + i % 2],
+            ).start()
+
+    start_last_dma(0, g_prog * tiles_per_prog)
 
     def tile_body(i, _):
         t = g_prog * tiles_per_prog + i
@@ -80,6 +100,10 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
         count = count_ref[t]
         b0 = start // BLOCK
         n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
+
+        @pl.when(i + 1 < tiles_per_prog)
+        def _():
+            start_last_dma(i + 1, t + 1)
 
         tx = (t % grid_x).astype(jnp.float32)
         ty = (t // grid_x).astype(jnp.float32)
@@ -99,12 +123,28 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
         def get_dma(slot, blk_idx):
             return pltpu.make_async_copy(
-                blocks_hbm.at[b0 + blk_idx], scratch.at[slot], sems.at[slot]
+                blocks_hbm.at[:, pl.ds((b0 + blk_idx) * BLOCK, BLOCK)],
+                scratch.at[slot], sems.at[slot]
             )
 
+        def grad_read(r):
+            return pltpu.make_async_copy(
+                grads_in.at[:, pl.ds((b0 + n_blocks - 1 - r) * BLOCK, BLOCK)],
+                gscr.at[r % 2], gsem_r.at[r % 2],
+            )
+
+        def grad_write(r):
+            return pltpu.make_async_copy(
+                gscr.at[r % 2],
+                grads_out.at[:, pl.ds((b0 + n_blocks - 1 - r) * BLOCK, BLOCK)],
+                gsem_w.at[r % 2],
+            )
+
+        # the first grad-block read can only start once the previous tile's
+        # writes have drained (adjacent tiles share boundary grad blocks)
         @pl.when(n_blocks > 0)
         def _():
-            get_dma(0, n_blocks - 1).start()
+            grad_read(0).start()
 
         init = (
             jnp.zeros((), jnp.int32),  # reverse step r: block index = n_blocks-1-r
@@ -118,7 +158,8 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
         def body(state):
             r, Tc, Sq = state
             c = n_blocks - 1 - r
-            slot = r % 2
+            # last block was prefetched into slot 2 + i%2 one tile ahead
+            slot = jnp.where(r == 0, 2 + i % 2, r % 2)
 
             @pl.when(r + 1 < n_blocks)
             def _():
@@ -184,21 +225,30 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             d_dep = jnp.sum(w * dD + jnp.where(cross, dMed, 0.0), axis=1,
                             keepdims=True)
 
-            # accumulate into the per-entry gradient block (RMW; the grid is
-            # sequential so cross-program accumulation is race-free)
-            rd = pltpu.make_async_copy(grads_in.at[b0 + c], gscr, gsem)
-            rd.start()
-            rd.wait()
-            gnew = gscr[:, :]
+            # accumulate into the per-entry gradient block. RMW is required
+            # because boundary blocks are shared between adjacent tiles
+            # (race-free: the grid and the per-tile loop run sequentially).
+            # Reads are prefetched one block ahead and writes drain lazily:
+            # W(r) is only waited before R(r+2) reuses its scratch slot, so
+            # the DMAs overlap the compositing math instead of serializing.
             upd = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_dep,
                  jnp.zeros((BLOCK, 6), jnp.float32)],
                 axis=1,
             ).T  # (BLOCK, 16) -> (16, BLOCK)
-            gscr[:, :] = gnew + upd
-            wr = pltpu.make_async_copy(gscr, grads_out.at[b0 + c], gsem)
-            wr.start()
-            wr.wait()
+            grad_read(r).wait()
+            gscr[r % 2] = gscr[r % 2] + upd
+            grad_write(r).start()
+
+            @pl.when(r + 1 < n_blocks)
+            def _():
+                # R(r+1) reuses the slot W(r-1) wrote from; drain W(r-1)
+                # first (r-1 and r+1 share parity)
+                @pl.when(r >= 1)
+                def _():
+                    grad_write(r - 1).wait()
+
+                grad_read(r + 1).start()
 
             # carries: transmittance before this block's first entry (subl 0
             # of Tb) and the grown pre-dotted suffix sum
@@ -207,6 +257,18 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             return (r + 1, Tc, Sq)
 
         jax.lax.while_loop(cond, body, init)
+
+        # drain outstanding grad writes before the next tile may RMW a
+        # shared boundary block: W(nb-1) always, W(nb-2) if it was never
+        # waited by an R(nb) (the guard above stops at the last block)
+        @pl.when(n_blocks >= 2)
+        def _():
+            grad_write(n_blocks - 2).wait()
+
+        @pl.when(n_blocks >= 1)
+        def _():
+            grad_write(n_blocks - 1).wait()
+
         return 0
 
     jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
@@ -215,7 +277,8 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
                               grid_x: int, grid_y: int,
                               tiles_per_prog: int = 16):
-    """Per-entry gradient blocks [NB, 16, BLOCK] (rows per module docstring).
+    """Per-entry gradients [16, K] flat (rows per module docstring), in the
+    same tile-sorted order as ``binned.flat_entries``.
 
     Args:
         ct_tiles: [T, 8, 256] packed per-tile cotangents + forward state
@@ -224,7 +287,7 @@ def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
         bg: [3] background color (for the reference bg gradient term).
     """
     num_tiles = grid_x * grid_y
-    nb = binned.entry_blocks.shape[0]
+    K = binned.flat_entries.shape[1]
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
     pad = padded - num_tiles
     tile_start = jnp.pad(binned.tile_start, (0, pad))
@@ -232,7 +295,7 @@ def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
     ct_tiles = jnp.pad(ct_tiles, ((0, pad), (0, 0), (0, 0)))
     bg8 = jnp.pad(jnp.asarray(bg, jnp.float32), (0, 5))
 
-    grads_zero = jnp.zeros((nb, NUM_ATTRS, BLOCK), jnp.float32)
+    grads_zero = jnp.zeros((NUM_ATTRS, K), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -245,23 +308,24 @@ def composite_backward_pallas(binned: BinnedBlocks, ct_tiles, bg,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((4, NUM_ATTRS, BLOCK), jnp.float32),
             pltpu.VMEM((2, NUM_ATTRS, BLOCK), jnp.float32),
-            pltpu.VMEM((NUM_ATTRS, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = partial(_backward_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, NUM_ATTRS, BLOCK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_ATTRS, K), jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(tile_start, tile_count, bg8, grads_zero, ct_tiles, binned.entry_blocks)
+    )(tile_start, tile_count, bg8, grads_zero, ct_tiles, binned.flat_entries)
 
 
 # --- per-Gaussian gradient reduction ----------------------------------------
@@ -283,42 +347,61 @@ _SEG_WIN = _SEG_SUPER * BLOCK + 2 * 128  # gaussian window lanes (aligned)
 
 
 def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
-                      g_scr, gr_scr, win, sems):
+                      g_scr, gr_scr, win, sems, rmw_sem):
     sb = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    # input windows are double-buffered across programs; only the output
+    # RMW window stays serial (adjacent programs' windows overlap in lanes)
+    def input_dmas(p, slot):
+        base = p * _SEG_SUPER
+        return (
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(base, _SEG_SUPER), :], g_scr.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(base * BLOCK, _SEG_SUPER * BLOCK)],
+                gr_scr.at[slot], sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(sb == 0)
+    def _():
+        for dma in input_dmas(0, 0):
+            dma.start()
+
+    @pl.when(sb + 1 < nprog)
+    def _():
+        for dma in input_dmas(sb + 1, (sb + 1) % 2):
+            dma.start()
+
     base_blk = sb * _SEG_SUPER
     lo_base = blk_lo_ref[base_blk]
     aligned = (lo_base // 128) * 128
 
-    dma_g = pltpu.make_async_copy(
-        g_hbm.at[pl.ds(base_blk, _SEG_SUPER), :], g_scr, sems.at[0]
-    )
-    dma_d = pltpu.make_async_copy(
-        grads_hbm.at[:, pl.ds(base_blk * BLOCK, _SEG_SUPER * BLOCK)],
-        gr_scr, sems.at[1],
-    )
     # RMW read of the overlapping output window must observe the previous
     # program's write — guaranteed by the sequential ("arbitrary") grid.
     dma_r = pltpu.make_async_copy(
-        out_in.at[:, pl.ds(aligned, _SEG_WIN)], win, sems.at[2]
+        out_in.at[:, pl.ds(aligned, _SEG_WIN)], win, rmw_sem
     )
-    dma_g.start()
-    dma_d.start()
     dma_r.start()
-    dma_g.wait()
-    dma_d.wait()
+    slot = sb % 2
+    for dma in input_dmas(sb, slot):
+        dma.wait()
 
     # attr-major accumulator: [16, _SEG_WIN] keeps every op lane-dense
     acc = jnp.zeros((NUM_ATTRS, _SEG_WIN), jnp.float32)
     for b in range(_SEG_SUPER):
         lo_b = blk_lo_ref[base_blk + b]
         off = lo_b - aligned
-        local = g_scr[b, :] - lo_b  # [256] in [0, 256)
+        local = g_scr[slot, b, :] - lo_b  # [256] in [0, 256)
         # onehot: [slot, gauss_window_col] — col r sums slots with local==r
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
             == local[:, None]
         ).astype(jnp.float32)
-        gblk = gr_scr[:, b * BLOCK:(b + 1) * BLOCK]  # [16, 256 slots]
+        gblk = gr_scr[slot, :, b * BLOCK:(b + 1) * BLOCK]  # [16, 256 slots]
         partial = jax.lax.dot_general(
             gblk, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -334,7 +417,7 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
     dma_r.wait()
     win[...] = win[...] + acc
     wr = pltpu.make_async_copy(win, out_hbm.at[:, pl.ds(aligned, _SEG_WIN)],
-                               sems.at[2])
+                               rmw_sem)
     wr.start()
     wr.wait()
 
@@ -365,10 +448,11 @@ def segment_reduce_compact(grads_table, g, block_lo, num_gaussians: int):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((_SEG_SUPER, BLOCK), jnp.int32),
-            pltpu.VMEM((NUM_ATTRS, _SEG_SUPER * BLOCK), jnp.float32),
+            pltpu.VMEM((2, _SEG_SUPER, BLOCK), jnp.int32),
+            pltpu.VMEM((2, NUM_ATTRS, _SEG_SUPER * BLOCK), jnp.float32),
             pltpu.VMEM((NUM_ATTRS, _SEG_WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
@@ -383,14 +467,12 @@ def segment_reduce_compact(grads_table, g, block_lo, num_gaussians: int):
     return out[:, :num_gaussians].T
 
 
-def reduce_entry_grads(grad_blocks, binned: BinnedBlocks, num_gaussians: int):
-    """Per-entry gradient blocks -> per-Gaussian gradients (original order)."""
-    flat_g = grad_blocks.transpose(0, 2, 1).reshape(-1, NUM_ATTRS)
-    slot_key = (
-        binned.entry_blocks[:, 12, :].reshape(-1).astype(jnp.int32)
-    )  # entry row 12 carries the pre-tile-sort slot index
+def reduce_entry_grads(grads_flat, binned: BinnedBlocks, num_gaussians: int):
+    """[16, K] per-entry gradients -> per-Gaussian gradients (original order)."""
+    # entry row 12 carries the pre-tile-sort slot index
+    slot_key = binned.flat_entries[12].astype(jnp.int32)
 
-    cols = tuple(flat_g[:, a] for a in range(10))
+    cols = tuple(grads_flat[a] for a in range(10))
     sorted_ops = jax.lax.sort((slot_key,) + cols, num_keys=1, is_stable=True)
     table = jnp.concatenate(
         [

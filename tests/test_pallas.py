@@ -54,7 +54,7 @@ def test_fast_binning_matches_reference(preprocessed):
     ref_start = np.asarray(ref.tile_start)
     ref_count = np.asarray(ref.tile_count)
     fast_count = np.asarray(fast.tile_count)
-    flat = np.asarray(fast.entry_blocks).transpose(0, 2, 1).reshape(-1, 16)
+    flat = np.asarray(fast.flat_entries).T
     start = np.asarray(fast.tile_start)
     for t in range(gx * gy):
         cnt = fast_count[t]

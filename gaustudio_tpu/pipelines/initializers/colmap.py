@@ -95,25 +95,102 @@ class ColmapInitializer(BaseInitializer):
         return model
 
 
-def _external_stub(name: str, dep: str):
-    @initializers.register(name)
-    class _Stub(BaseInitializer):  # noqa: N801
-        def __init__(self, initializer_config):
-            super().__init__(initializer_config)
+@initializers.register("hloc")
+class HlocInitializer(ColmapInitializer):
+    """SuperPoint + LightGlue triangulation with pose-based pair selection
+    (reference hloc.py:135-158).
 
-        def build_model(self, model):
+    Pair selection (sequential window + pose-proximity loop closure) is
+    implemented natively in `sfm_pairs.pairs_from_poses`; feature
+    extraction/matching/triangulation delegate to the external `hloc`
+    package exactly as in the reference.
+    """
+
+    pairs_overlap = 5
+
+    def select_pairs(self):
+        from gaustudio_tpu.pipelines.initializers import sfm_pairs
+
+        return sfm_pairs.pairs_from_model(
+            os.path.join(self.ws_dir, "model"),
+            os.path.join(self.ws_dir, "pairs-sfm.txt"),
+            overlap=self.pairs_overlap,
+        )
+
+    def process_dataset(self):
+        pairs = self.select_pairs()
+        print(f"hloc initializer: {len(pairs)} match pairs")
+        try:
+            from hloc import extract_features, match_features, triangulation
+            import pycolmap  # noqa: F401  (hloc triangulation dependency)
+        except ImportError as e:
             raise ImportError(
-                f"The '{name}' initializer wraps the external `{dep}` tool, "
-                "which is not bundled. Install it on the host, or use the "
-                "'colmap'/'pcd'/'depth' initializers."
-            )
+                "The 'hloc' initializer delegates feature matching to the "
+                "external `hloc` package (superpoint+lightglue), which is "
+                "not bundled. Pairs were written to pairs-sfm.txt; install "
+                "hloc or use the 'colmap' initializer."
+            ) from e
+        from pathlib import Path
 
-    _Stub.__name__ = f"{name.capitalize()}Initializer"
-    return _Stub
+        ws = Path(self.ws_dir)
+        feats = extract_features.main(
+            extract_features.confs["superpoint_aachen"], ws / "images",
+            feature_path=ws / "model" / "features.h5", as_half=False,
+        )
+        matches = match_features.main(
+            match_features.confs["superpoint+lightglue"], ws / "pairs-sfm.txt",
+            features=ws / "model" / "features.h5",
+            matches=ws / "model" / "matches.h5",
+        )
+        out = ws / "sparse" / "0"
+        os.makedirs(out, exist_ok=True)
+        triangulation.main(out, ws / "model", ws / "images",
+                           ws / "pairs-sfm.txt", feats, matches,
+                           skip_geometric_verification=True)
 
 
-# pose-estimation initializers delegating to external SfM stacks
-# (reference: hloc.py:135,161, dust3r.py:52 — superpoint+lightglue / dust3r)
-_external_stub("hloc", "hloc")
-_external_stub("loftr", "hloc[loftr]")
-_external_stub("dust3r", "mini_dust3r")
+@initializers.register("loftr")
+class LoftrInitializer(HlocInitializer):
+    """Dense LoFTR matching variant (reference hloc.py:161-177)."""
+
+    def process_dataset(self):
+        pairs = self.select_pairs()
+        print(f"loftr initializer: {len(pairs)} match pairs")
+        try:
+            from hloc import match_dense, triangulation
+            import pycolmap  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "The 'loftr' initializer delegates dense matching to the "
+                "external `hloc` package, which is not bundled. Pairs were "
+                "written to pairs-sfm.txt; install hloc or use the "
+                "'colmap' initializer."
+            ) from e
+        from pathlib import Path
+
+        ws = Path(self.ws_dir)
+        feats, matches = match_dense.main(
+            match_dense.confs["loftr"], ws / "pairs-sfm.txt", ws / "images",
+            self.ws_dir, max_kps=8192,
+        )
+        out = ws / "sparse" / "0"
+        os.makedirs(out, exist_ok=True)
+        triangulation.main(out, ws / "model", ws / "images",
+                           ws / "pairs-sfm.txt", feats, matches)
+
+
+@initializers.register("dust3r")
+class Dust3rInitializer(BaseInitializer):
+    """Learned two-view-geometry initializer delegating to the external
+    `mini_dust3r` package (reference dust3r.py:52-210: <=20 images, crop to
+    principal point, global alignment with preset poses, fused ply)."""
+
+    def __init__(self, initializer_config):
+        super().__init__(initializer_config)
+
+    def build_model(self, model):
+        raise ImportError(
+            "The 'dust3r' initializer wraps the external `mini_dust3r` "
+            "model, which is not bundled. Install it on the host, or use "
+            "the 'colmap'/'hloc'/'pcd'/'depth' initializers."
+        )

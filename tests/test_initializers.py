@@ -104,3 +104,67 @@ def test_external_stub_raises():
     init = initializers.make({"name": "dust3r"})
     with pytest.raises(ImportError):
         init(models.make({"name": "vanilla_pcd"}))
+
+
+def test_pairs_from_poses_orbit(tmp_path):
+    """Sequential window + loop closure on a small orbit ring."""
+    from gaustudio_tpu.datasets import utils as dsu
+    from gaustudio_tpu.pipelines.initializers import sfm_pairs
+
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=12,
+                                            image_size=32, fov_deg=50)
+    images = {}
+    for i, cam in enumerate(cams):
+        W2C = cam.extrinsics
+        images[i + 1] = dsu.ColmapImage(
+            i + 1, dsu.rotmat2qvec(W2C[:3, :3]), W2C[:3, 3], i + 1,
+            f"r_{i}.png", np.zeros((0, 2)), np.zeros(0, np.int64),
+        )
+    pairs = sfm_pairs.pairs_from_poses(images, overlap=3)
+    names = [f"r_{i}.png" for i in range(12)]
+    # every sequential-window pair is present
+    for i in range(11):
+        for j in range(i + 1, min(i + 4, 12)):
+            assert (names[i], names[j]) in pairs
+    # the ring closes: the first image is matched to the last ones via
+    # loop closure (they are adjacent in pose space, outside the window)
+    assert any(a == "r_0.png" and b in ("r_10.png", "r_11.png")
+               for a, b in pairs)
+    # no duplicates
+    assert len(pairs) == len(set(pairs))
+
+    out = tmp_path / "pairs-sfm.txt"
+    sfm_pairs.write_pairs(pairs, out)
+    lines = out.read_text().splitlines()
+    assert len(lines) == len(pairs) and lines[0] == f"{pairs[0][0]} {pairs[0][1]}"
+
+
+def test_pairs_near_duplicate_rejected():
+    from gaustudio_tpu.datasets import utils as dsu
+    from gaustudio_tpu.pipelines.initializers import sfm_pairs
+
+    # two identical poses + one distinct -> the duplicate pair is dropped
+    eye_q = np.array([1.0, 0.0, 0.0, 0.0])
+    mk = lambda i, t: dsu.ColmapImage(i, eye_q, np.asarray(t, float), i,
+                                      f"im{i}.png", np.zeros((0, 2)),
+                                      np.zeros(0, np.int64))
+    images = {1: mk(1, [0, 0, 0]), 2: mk(2, [0, 0, 0]), 3: mk(3, [1, 0, 0])}
+    pairs = sfm_pairs.pairs_from_poses(images, overlap=2)
+    assert ("im1.png", "im2.png") not in pairs
+    assert ("im1.png", "im3.png") in pairs and ("im2.png", "im3.png") in pairs
+
+
+def test_hloc_initializer_writes_pairs(tmp_path):
+    """The hloc initializer selects pairs natively, then gates matching on
+    the external hloc package (absent here -> ImportError after pairs)."""
+    from gaustudio_tpu.cameras import Camera
+
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=4,
+                                            image_size=16, fov_deg=50)
+    ws = str(tmp_path / "ws")
+    init = initializers.make({"name": "hloc", "workspace_dir": ws})
+    init.cache_dataset(cams)
+    with pytest.raises(ImportError):
+        init.process_dataset()
+    pairs_file = tmp_path / "ws" / "pairs-sfm.txt"
+    assert pairs_file.exists() and len(pairs_file.read_text().splitlines()) >= 3

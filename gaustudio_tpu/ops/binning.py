@@ -42,7 +42,7 @@ def count_entries(tiles_touched) -> jnp.ndarray:
     return jnp.sum(tiles_touched)
 
 
-def bucket_capacity(total: int, minimum: int = 8192, growth: float = 1.3,
+def bucket_capacity(total: int, minimum: int = 8192, growth: float = 1.12,
                     quantum: int = 4096) -> int:
     """Round a measured entry count up to a geometric bucket.
 

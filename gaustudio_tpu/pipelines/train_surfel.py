@@ -163,10 +163,18 @@ class SurfelTrainer(Trainer):
 
         rng = np.random.default_rng(0)
         history = []
+        # device-resident batches (see Trainer.train): avoids re-uploading
+        # gt images every step on relay-attached TPUs
+        cache = None
+        if len(self.cameras) * self.H * self.W * 3 * 4 <= (1 << 30):
+            cache = [self._batch(c) for c in self.cameras]
         for it in range(1, iters + 1):
-            cam = self.cameras[rng.integers(len(self.cameras))]
+            if cache is not None:
+                batch = cache[rng.integers(len(cache))]
+            else:
+                batch = self._batch(self.cameras[rng.integers(len(self.cameras))])
             self.state, metrics = train_step_surfel(
-                self.state, self._batch(cam), settings, cfg
+                self.state, batch, settings, cfg
             )
             if it % cfg.base.sh_increase_interval == 0:
                 self.state = T.oneup_sh_degree(self.state, cfg.base.max_sh_degree)

@@ -133,7 +133,13 @@ def compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatr
     Returns [..., 3]: (c_xx, c_xy, c_yy).
     """
     t = transform_points(means3d, viewmatrix)[..., :3]
-    tz = t[..., 2]
+    # Rows with |tz| below the near plane are all frustum-culled, but their
+    # 1/tz must stay finite: a NaN/inf primal poisons the whole gradient
+    # through the masked-out branch (0-cotangent x inf = NaN in the vjp) —
+    # points crossing z=0 during training used to NaN their own parameters.
+    tz_raw = t[..., 2]
+    tz = jnp.where(tz_raw >= 0.0, jnp.maximum(tz_raw, NEAR_CULL_Z),
+                   jnp.minimum(tz_raw, -NEAR_CULL_Z))
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     txtz = t[..., 0] / tz
@@ -265,7 +271,13 @@ def preprocess(
     in_front = depths > NEAR_CULL_Z
 
     p_hom = transform_points(means3d, projmatrix)
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    # reference adds 1e-7 (rasterize CUDA); additionally keep the
+    # denominator away from 0 so culled rows near w=0 stay finite in the
+    # vjp (see the tz guard in compute_cov2d)
+    denom = p_hom[..., 3] + 1e-7
+    denom = jnp.where(denom >= 0.0, jnp.maximum(denom, 1e-4),
+                      jnp.minimum(denom, -1e-4))
+    p_w = 1.0 / denom
     p_proj = p_hom[..., :3] * p_w[..., None]
 
     if cov3d_precomp is not None:
@@ -278,7 +290,10 @@ def preprocess(
     cov2d = compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix)
 
     det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
-    det_ok = det != 0.0
+    # det > 0 (not det != 0 as in the reference): the EWA cov2d + 0.3 I is
+    # PD so valid splats always satisfy it, while `!= 0` would PASS a NaN
+    # det (NaN != 0 is True) and let a poisoned row into binning
+    det_ok = det > 0.0
     det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
     conic = jnp.stack(
         [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv, cov2d[..., 0] * det_inv], -1
@@ -304,15 +319,21 @@ def preprocess(
     # (forward.cu:354), and the per-axis Mahalanobis bbox is R*sqrt(cov_ii).
     # Culled tiles therefore never had a visible contribution: images are
     # bit-identical while entry counts drop ~20-40% for anisotropic splats.
+    # +1e-12 inside the sqrts: sqrt'(0) is inf and the vjp of a ZERO
+    # cotangent through it is 0/0 = NaN (ceil's zero grad still routes
+    # through sqrt) — the epsilon keeps the vjp exactly 0 there
     op_flat = jnp.reshape(opacities, (-1,))
     r_support = jnp.sqrt(
         jnp.maximum(0.0, 2.0 * jnp.log(255.0 * jnp.maximum(op_flat, 1e-12)))
+        + 1e-12
     )
     bbox_x = jnp.ceil(
-        jnp.minimum(radius_f, r_support * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0)))
+        jnp.minimum(radius_f,
+                    r_support * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0) + 1e-12))
     )
     bbox_y = jnp.ceil(
-        jnp.minimum(radius_f, r_support * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0)))
+        jnp.minimum(radius_f,
+                    r_support * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0) + 1e-12))
     )
     rect_min, rect_max = get_rect(mean2d, bbox_x, grid_x, grid_y, bbox_y)
     rect_wh = rect_max - rect_min

@@ -50,24 +50,30 @@ def write_cam_file(path: str, camera: Camera) -> None:
 
 def render_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
     """Per-view median-depth maps masked by final opacity < 0.5
-    (extract_mesh.py:99-117), optionally saving renders/masks/.cam files."""
+    (extract_mesh.py:99-117), optionally saving renders/masks/.cam files.
+
+    Depth maps stay ON DEVICE (the TSDF integrate consumes them there);
+    image buffers are only downloaded when ``work_dir`` asks for files —
+    device->host transfers ride the relay on remote-attached TPUs and
+    dominate the loop otherwise."""
     if work_dir is not None:
         os.makedirs(os.path.join(work_dir, "images"), exist_ok=True)
         os.makedirs(os.path.join(work_dir, "masks"), exist_ok=True)
     results = []
     for camera in cameras:
         out = renderer.render(camera, pcd)
-        opacity = np.asarray(out["rendered_final_opacity"][0])
-        depth = np.asarray(out["rendered_median_depth"][0])
+        opacity = out["rendered_final_opacity"][0]
+        depth = out["rendered_median_depth"][0]
         invalid = opacity < 0.5
-        depth = np.where(invalid, 0.0, depth)
-        rgb = np.moveaxis(np.asarray(out["render"]), 0, -1)
-        rgb = np.where(invalid[..., None], 0.0, rgb)
+        depth = jnp.where(invalid, 0.0, depth)
         if work_dir is not None:
+            inv_np = np.asarray(invalid)
+            rgb = np.moveaxis(np.asarray(out["render"]), 0, -1)
+            rgb = np.where(inv_np[..., None], 0.0, rgb)
             name = camera.image_name or f"view_{len(results):04d}"
             save_image(os.path.join(work_dir, "images", f"{name}.png"), rgb)
             save_image(os.path.join(work_dir, "masks", f"{name}.png"),
-                       (~invalid).astype(np.float32))
+                       (~inv_np).astype(np.float32))
             write_cam_file(os.path.join(work_dir, "images", f"{name}.cam"), camera)
         results.append((camera, depth))
     return results
@@ -102,7 +108,7 @@ def extract_mesh(
     for camera, depth in per_view:
         vol = tsdf.integrate(
             vol,
-            jnp.asarray(depth),
+            depth,
             jnp.asarray(camera.intrinsics),
             jnp.asarray(camera.extrinsics),
         )

@@ -319,3 +319,39 @@ def test_suggest_num_entries(scene):
         scales=jnp.asarray(s["scales"]), rotations=jnp.asarray(s["quats"]),
     )
     assert cap >= 4096 and (cap & (cap - 1)) == 0
+
+
+def test_gradients_finite_with_degenerate_points():
+    """Culled rows (z~0, behind camera, at campos, boundary opacity) must
+    not poison gradients: the 0-cotangent x inf-primal-derivative NaN trap
+    in the projection/cov vjp (found as ~1200 NaN rows per 1k train iters)."""
+    import jax
+
+    from gaustudio_tpu.ops import rasterize as rast
+
+    s = _make_scene(n=12, seed=7, w=32, h=32)
+    st = s["settings"]
+    xyz = np.asarray(s["means"]).copy()
+    opac = np.asarray(s["opac"]).copy()
+    # hazardous rows: near-zero view depth, behind camera, exactly at the
+    # near plane, at the camera position, support-boundary opacity
+    xyz[0] = [0.0, 0.0, 1e-8]
+    xyz[1] = [0.1, 0.1, -0.5]
+    xyz[2] = [0.0, 0.1, 0.2]
+    xyz[3] = np.asarray(st.campos)
+    opac[4] = 1.0 / 255.0
+    xyz[5] = [0.0, 0.0, -1e-9]
+
+    args = (jnp.asarray(xyz), jnp.asarray(s["scales"]),
+            jnp.asarray(s["quats"]), jnp.asarray(opac),
+            jnp.asarray(s["colors"]))
+
+    def loss(xyz, scales, quats, opac, colors):
+        out = rast.rasterize(xyz, opac, st, colors_precomp=colors,
+                             scales=scales, rotations=quats)
+        return (jnp.sum(out["render"]) + jnp.sum(out["rendered_depth"])
+                + jnp.sum(out["rendered_final_opacity"]))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, g in zip(["xyz", "scales", "quats", "opac", "colors"], grads):
+        assert np.isfinite(np.asarray(g)).all(), f"non-finite grad: {name}"

@@ -124,6 +124,12 @@ def main():
     psnr0 = eval_psnr()
     print(f"PSNR before: {psnr0:.2f}", flush=True)
 
+    # warm up the train-step compile outside the timed loop (first compile
+    # is minutes on the remote-compile backend and would dominate ms/it)
+    t0 = time.perf_counter()
+    trainer.train(iterations=1, log_every=1)
+    print(f"warmup (compile): {time.perf_counter()-t0:.1f}s", flush=True)
+
     t0 = time.perf_counter()
     hist = trainer.train(iterations=args.iters, log_every=200,
                          callback=lambda m: print(

@@ -94,7 +94,9 @@ def main():
     # TPU-only bf16-matmul bug once culled 98.7% of entries while every
     # CPU test stayed green — see binning_fast._expand_kernel)
     frac_lit = float((img_np.sum(0) > 0).mean())
-    default_cfg = "GS_BENCH_N" not in os.environ and "GS_BENCH_H" not in os.environ
+    default_cfg = not any(
+        k in os.environ for k in ("GS_BENCH_N", "GS_BENCH_H", "GS_BENCH_W")
+    )
     min_lit = 0.9 if default_cfg else 0.1
     assert frac_lit > min_lit, f"render mostly empty: {frac_lit:.3f} lit"
     if default_cfg:

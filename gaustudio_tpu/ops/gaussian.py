@@ -327,14 +327,17 @@ def preprocess(
         jnp.maximum(0.0, 2.0 * jnp.log(255.0 * jnp.maximum(op_flat, 1e-12)))
         + 1e-12
     )
-    bbox_x = jnp.ceil(
+    # op <= 1/255 must keep bbox 0 (fully culled) — the sqrt epsilon alone
+    # would ceil a 1e-6 support radius up to a 1-pixel bbox
+    supported = op_flat > (1.0 / 255.0)
+    bbox_x = jnp.where(supported, jnp.ceil(
         jnp.minimum(radius_f,
                     r_support * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0) + 1e-12))
-    )
-    bbox_y = jnp.ceil(
+    ), 0.0)
+    bbox_y = jnp.where(supported, jnp.ceil(
         jnp.minimum(radius_f,
                     r_support * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0) + 1e-12))
-    )
+    ), 0.0)
     rect_min, rect_max = get_rect(mean2d, bbox_x, grid_x, grid_y, bbox_y)
     rect_wh = rect_max - rect_min
     tiles = rect_wh[..., 0] * rect_wh[..., 1]

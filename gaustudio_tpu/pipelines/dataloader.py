@@ -77,3 +77,36 @@ class PrefetchLoader:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+
+
+def make_batch_source(cameras: List, make_batch: Callable,
+                      use_prefetch: bool = True, seed: int = 0,
+                      cache_limit_bytes: int = 1 << 30):
+    """Per-step batch supplier shared by the trainers.
+
+    Device-resident cache when the capture fits in ``cache_limit_bytes``
+    (re-uploading gt images every step serializes with compute on
+    relay-attached TPUs); threaded host prefetch otherwise; plain per-step
+    conversion when ``use_prefetch`` is False (callers bounding device
+    memory keep that guarantee — no implicit cache).
+
+    Returns a zero-arg callable yielding the next batch; it carries a
+    ``.close()`` for loader-thread shutdown.
+    """
+    rng = np.random.default_rng(seed)
+    cam0 = cameras[0]
+    total = len(cameras) * int(cam0.image_height) * int(cam0.image_width) * 12
+
+    if use_prefetch and total <= cache_limit_bytes:
+        cache = [make_batch(c) for c in cameras]
+        fn = lambda: cache[rng.integers(len(cache))]  # noqa: E731
+        fn.close = lambda: None
+        return fn
+    if use_prefetch:
+        loader = PrefetchLoader(cameras, make_batch, prefetch=2, seed=seed)
+        fn = lambda: next(loader)  # noqa: E731
+        fn.close = loader.close
+        return fn
+    fn = lambda: make_batch(cameras[rng.integers(len(cameras))])  # noqa: E731
+    fn.close = lambda: None
+    return fn

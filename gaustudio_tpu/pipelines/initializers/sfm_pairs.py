@@ -56,6 +56,11 @@ def pairs_from_poses(
       closest translations first;
     - pairs closer than `near_rt_min` in BOTH rotation and translation are
       discarded (near-duplicate views).
+
+    NB the translation thresholds are ABSOLUTE scene units, matching the
+    reference defaults (hloc.py:41-43 loop_Rt_thresh=(30.0, 2.0)); for
+    captures in unusual units pass thresholds scaled to the scene extent
+    (e.g. loop_rt_max=(30.0, 0.2 * extent)).
     """
     ordered = sorted(images.items(), key=lambda kv: kv[0])
     names = [im.name for _, im in ordered]

@@ -48,19 +48,20 @@ def write_cam_file(path: str, camera: Camera) -> None:
         f.write(f"{flen} 0 0 {paspect} {ppx} {ppy}\n")
 
 
-def render_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
-    """Per-view median-depth maps masked by final opacity < 0.5
-    (extract_mesh.py:99-117), optionally saving renders/masks/.cam files.
+def iter_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
+    """Yield per-view (camera, device depth map) with median depth masked by
+    final opacity < 0.5 (extract_mesh.py:99-117), optionally saving
+    renders/masks/.cam files.
 
     Depth maps stay ON DEVICE (the TSDF integrate consumes them there);
     image buffers are only downloaded when ``work_dir`` asks for files —
     device->host transfers ride the relay on remote-attached TPUs and
-    dominate the loop otherwise."""
+    dominate the loop otherwise. Yielding (instead of returning a list)
+    keeps a single depth map live at a time."""
     if work_dir is not None:
         os.makedirs(os.path.join(work_dir, "images"), exist_ok=True)
         os.makedirs(os.path.join(work_dir, "masks"), exist_ok=True)
-    results = []
-    for camera in cameras:
+    for i, camera in enumerate(cameras):
         out = renderer.render(camera, pcd)
         opacity = out["rendered_final_opacity"][0]
         depth = out["rendered_median_depth"][0]
@@ -70,13 +71,18 @@ def render_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
             inv_np = np.asarray(invalid)
             rgb = np.moveaxis(np.asarray(out["render"]), 0, -1)
             rgb = np.where(inv_np[..., None], 0.0, rgb)
-            name = camera.image_name or f"view_{len(results):04d}"
+            name = camera.image_name or f"view_{i:04d}"
             save_image(os.path.join(work_dir, "images", f"{name}.png"), rgb)
             save_image(os.path.join(work_dir, "masks", f"{name}.png"),
                        (~inv_np).astype(np.float32))
             write_cam_file(os.path.join(work_dir, "images", f"{name}.cam"), camera)
-        results.append((camera, depth))
-    return results
+        yield camera, depth
+
+
+def render_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
+    """List-returning wrapper of iter_fused_depths (kept for callers that
+    want all views at once; large captures should iterate)."""
+    return list(iter_fused_depths(renderer, pcd, cameras, work_dir))
 
 
 def extract_mesh(
@@ -104,8 +110,9 @@ def extract_mesh(
     lo, hi = tsdf.integrate_points_bounds(np.asarray(pcd.get_attribute("xyz")))
     vol = tsdf.volume_from_bounds(lo, hi, voxel_size, sdf_trunc, max_dim=max_dim)
 
-    per_view = render_fused_depths(renderer, pcd, cams, work_dir)
-    for camera, depth in per_view:
+    # render + integrate per view so only ONE depth map is device-resident
+    # at a time (500 views at 1080p would otherwise hold ~4 GB of HBM)
+    for camera, depth in iter_fused_depths(renderer, pcd, cams, work_dir):
         vol = tsdf.integrate(
             vol,
             depth,

@@ -139,11 +139,9 @@ def state_to_model(state: GaussianTrainState, pcd):
     Non-finite rows (e.g. points that diverged after the last densify
     pass, which prunes them) are dropped from the export."""
     valid = np.asarray(state.valid)
-    finite = (
-        np.isfinite(np.asarray(state.params["xyz"])).all(axis=-1)
-        & np.isfinite(np.asarray(state.params["scale"])).all(axis=-1)
-        & np.isfinite(np.asarray(state.params["opacity"])).all(axis=-1)
-    )
+    finite = np.ones_like(valid)
+    for arr in state.params.values():
+        finite &= np.isfinite(np.asarray(arr)).reshape(len(valid), -1).all(axis=-1)
     n_bad = int((valid & ~finite).sum())
     if n_bad:
         print(f"state_to_model: dropping {n_bad} non-finite rows")
@@ -278,13 +276,12 @@ def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
     prune_mask = prune_mask | (
         prune_big_points & state.valid & (big_screen | big_world)
     )
-    # rows that went non-finite (diverged lr, overflowed exp(scale)) must
-    # not survive — they poison reductions and checkpoint bounds
-    finite = (
-        jnp.isfinite(p["xyz"]).all(axis=-1)
-        & jnp.isfinite(p["scale"]).all(axis=-1)
-        & jnp.isfinite(p["opacity"][:, 0])
-    )
+    # rows where ANY attribute went non-finite (diverged lr, overflowed
+    # exp(scale), NaN quaternion/SH) must not survive — they poison
+    # reductions, renders and checkpoint bounds
+    finite = jnp.ones_like(state.valid)
+    for arr in p.values():
+        finite = finite & jnp.isfinite(arr).all(axis=-1)
     prune_mask = prune_mask | (state.valid & ~finite)
 
     # survivors: valid, not pruned, not split (split parents are replaced)
@@ -488,37 +485,22 @@ class Trainer:
               callback=None, metrics_path: Optional[str] = None,
               checkpoint_dir: Optional[str] = None,
               checkpoint_every: int = 0, use_prefetch: bool = True):
-        from gaustudio_tpu.pipelines.dataloader import PrefetchLoader
         from gaustudio_tpu.utils.observability import (
             MetricsLogger,
             snapshot_on_nonfinite,
         )
 
+        from gaustudio_tpu.pipelines.dataloader import make_batch_source
+
         cfg = self.cfg
         iters = iterations or cfg.iterations
         settings = self._settings(self.num_entries)
         logger = MetricsLogger(metrics_path, echo=False) if metrics_path else None
-        # Batches are static across iterations: keep them resident on device
-        # when they fit (re-uploading the gt image every step serializes
-        # with compute on relay-attached TPUs — measured ~300 ms/it at 256px
-        # vs ~50 ms with resident batches). Falls back to the host
-        # prefetch loader for large captures.
-        cache = None
-        loader = None
-        total_bytes = len(self.cameras) * self.H * self.W * 3 * 4
-        if total_bytes <= (1 << 30):
-            cache = [self._batch(c) for c in self.cameras]
-        elif use_prefetch:
-            loader = PrefetchLoader(self.cameras, self._batch, prefetch=2)
-        rng = np.random.default_rng(0)
+        next_batch = make_batch_source(self.cameras, self._batch,
+                                       use_prefetch=use_prefetch)
         history = []
         for it in range(1, iters + 1):
-            if cache is not None:
-                batch = cache[rng.integers(len(cache))]
-            elif loader is not None:
-                batch = next(loader)
-            else:
-                batch = self._batch(self.cameras[rng.integers(len(self.cameras))])
+            batch = next_batch()
             self.state, metrics = train_step(self.state, batch, settings, cfg)
 
             if it % cfg.sh_increase_interval == 0:
@@ -555,8 +537,7 @@ class Trainer:
                     callback(m)
             if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
                 save_checkpoint(os.path.join(checkpoint_dir, f"step_{it}"), self.state)
-        if loader is not None:
-            loader.close()
+        next_batch.close()
         if logger:
             logger.close()
         return history

@@ -168,8 +168,14 @@ def init_scaffold_state(pcd, capacity: Optional[int] = None) -> ScaffoldTrainSta
 
 
 def state_to_scaffold_model(state: ScaffoldTrainState, pcd):
-    """Write trained values back into a ScaffoldPointCloud (host)."""
+    """Write trained values back into a ScaffoldPointCloud (host).
+    Non-finite anchors are dropped from the export (see
+    train.state_to_model)."""
     valid = np.asarray(state.valid)
+    for k2, arr in state.params.items():
+        if k2 == "mlps":
+            continue
+        valid = valid & np.isfinite(np.asarray(arr)).all(axis=-1)
     pcd._anchor = np.asarray(state.params["anchor"])[valid]
     pcd._offset = np.asarray(state.params["offset"])[valid]
     pcd._anchor_feat = np.asarray(state.params["anchor_feat"])[valid]
@@ -423,14 +429,23 @@ def adjust_anchors(state: ScaffoldTrainState, cfg: ScaffoldTrainConfig,
         jnp.where(jnp.arange(new_cap) < total, params["rot"][:, 0], 1.0)
     )
 
-    # zero optimizer moments for per-anchor attrs (rows moved); keep MLP
-    # moments (their shapes are anchor-count independent)
-    mu = dict(jax.tree.map(jnp.zeros_like, {k2: v for k2, v in params.items()
-                                            if k2 != "mlps"}))
-    nu = dict(jax.tree.map(jnp.zeros_like, {k2: v for k2, v in params.items()
-                                            if k2 != "mlps"}))
-    mu["mlps"] = state.mu["mlps"]
-    nu["mlps"] = state.nu["mlps"]
+    # Optimizer moments: surviving anchors KEEP their momenta (repacked to
+    # the new row order, mirroring the reference Scaffold-GS optimizer
+    # prune/cat surgery); only newborn rows start from zero. opt_count is
+    # preserved, so bias correction stays consistent — zeroing momenta with
+    # a large opt_count would give every anchor a ~1/sqrt(1-b2) = 2.8x lr
+    # overshoot on the first post-adjust step.
+    def repack_moment(tree):
+        out = {
+            k2: repack(np.asarray(v),
+                       np.zeros((n_new, v.shape[1]), np.float32))
+            for k2, v in tree.items() if k2 != "mlps"
+        }
+        out["mlps"] = tree["mlps"]
+        return out
+
+    mu = repack_moment(state.mu)
+    nu = repack_moment(state.nu)
 
     return ScaffoldTrainState(
         params=params,
@@ -501,20 +516,13 @@ class ScaffoldTrainer:
         cfg = self.cfg
         iters = iterations or cfg.iterations
         settings = self._settings(self.num_entries)
-        rng = np.random.default_rng(0)
+        from gaustudio_tpu.pipelines.dataloader import make_batch_source
+
+        next_batch = make_batch_source(self.cameras, self._batch)
         history = []
-        # device-resident batches (see Trainer.train): avoids re-uploading
-        # gt images every step on relay-attached TPUs
-        cache = None
-        if len(self.cameras) * self.H * self.W * 3 * 4 <= (1 << 30):
-            cache = [self._batch(c) for c in self.cameras]
         for it in range(1, iters + 1):
-            if cache is not None:
-                batch = cache[rng.integers(len(cache))]
-            else:
-                batch = self._batch(self.cameras[rng.integers(len(self.cameras))])
             self.state, metrics = train_step_scaffold(
-                self.state, batch, settings, cfg,
+                self.state, next_batch(), settings, cfg,
                 self.pcd.n_offsets,
             )
             if (cfg.update_from < it < cfg.update_until

@@ -161,20 +161,13 @@ class SurfelTrainer(Trainer):
 
         from gaustudio_tpu.pipelines import train as T
 
-        rng = np.random.default_rng(0)
+        from gaustudio_tpu.pipelines.dataloader import make_batch_source
+
+        next_batch = make_batch_source(self.cameras, self._batch)
         history = []
-        # device-resident batches (see Trainer.train): avoids re-uploading
-        # gt images every step on relay-attached TPUs
-        cache = None
-        if len(self.cameras) * self.H * self.W * 3 * 4 <= (1 << 30):
-            cache = [self._batch(c) for c in self.cameras]
         for it in range(1, iters + 1):
-            if cache is not None:
-                batch = cache[rng.integers(len(cache))]
-            else:
-                batch = self._batch(self.cameras[rng.integers(len(self.cameras))])
             self.state, metrics = train_step_surfel(
-                self.state, batch, settings, cfg
+                self.state, next_batch(), settings, cfg
             )
             if it % cfg.base.sh_increase_interval == 0:
                 self.state = T.oneup_sh_degree(self.state, cfg.base.max_sh_degree)

@@ -86,15 +86,27 @@ def main():
     if model_name == "scaffold_pcd":
         from gaustudio_tpu.pipelines import train_scaffold as TSc
 
+        opt_params = config.get("optimizer", {}).get("params", {}) or {}
+
+        def _lr(name, default):
+            return float(opt_params.get(name, {}).get("lr", default))
+
         sccfg = TSc.ScaffoldTrainConfig(
             iterations=args.iterations,
             lambda_dssim=float(tr_conf.get("lambda_dssim", 0.2)),
             lambda_vol=float(tr_conf.get("lambda_vol", 0.01)),
+            lr_anchor=_lr("anchor", 0.0),
+            lr_offset_init=_lr("offset", 0.01),
+            lr_feat=_lr("anchor_feat", 0.0075),
+            lr_scale=_lr("scale", 0.007),
+            lr_rot=_lr("rot", 0.002),
+            start_stat=int(tr_conf.get("start_stat", 500)),
             update_from=int(tr_conf.get("update_from", 1500)),
             update_interval=int(tr_conf.get("update_interval", 100)),
             update_until=int(tr_conf.get("update_until", 15000)),
             grad_threshold=float(tr_conf.get("densify_grad_threshold", 0.0002)),
             min_opacity=float(tr_conf.get("min_opacity", 0.005)),
+            success_threshold=float(tr_conf.get("success_threshold", 0.8)),
             white_background=args.white_background,
         )
         trainer = TSc.ScaffoldTrainer(pcd, dataset, sccfg, seed=args.seed)

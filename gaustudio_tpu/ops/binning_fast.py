@@ -82,12 +82,13 @@ _EXP_ROWS = 24  # sublane-padded table height
 _WIN = _SUPER * BLOCK + 2 * 128
 
 
-def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems):
+def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems,
+                   *, out_f: int = _EXP_F):
     """8 x 256-slot blocks: DMA the covered contiguous *lane* window of the
-    transposed [24, N] table once (24 useful rows instead of 128 padded
-    lanes — 5x less HBM traffic than the row-window layout), then per block
-    rotate the window so the block's gaussians sit at lane 0 and select
-    rows with an MXU one-hot matmul.
+    transposed [rows, N] table once (a few useful rows instead of 128
+    padded lanes — 5x less HBM traffic than the row-window layout), then
+    per block rotate the window so the block's gaussians sit at lane 0 and
+    select rows with an MXU one-hot matmul.
 
     Windows are double-buffered ACROSS programs (program p prefetches
     p+1's window) — without this the kernel is bound by one serial DMA
@@ -149,12 +150,12 @@ def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        out_ref[0, pl.ds(b * BLOCK, BLOCK), :] = sel[:, :_EXP_F]
+        out_ref[0, pl.ds(b * BLOCK, BLOCK), :] = sel[:, :out_f]
 
 
-def monotone_expand(table, g, block_lo):
-    """table [_EXP_ROWS, Npad] (attr-major), monotone gap-free g [K] ->
-    out [K, _EXP_F].
+def monotone_expand(table, g, block_lo, out_f: int = _EXP_F):
+    """table [rows, Npad] (attr-major, rows a multiple of 8), monotone
+    gap-free g [K] -> out [K, out_f].
 
     ``block_lo[b] = g[b*BLOCK]``; requires g[b*BLOCK+255] - block_lo[b] <
     BLOCK, guaranteed when every gaussian owns at least one slot. The
@@ -163,8 +164,10 @@ def monotone_expand(table, g, block_lo):
     """
     K = g.shape[0]
     nb = K // BLOCK
+    rows = table.shape[0]
     assert nb % _SUPER == 0
-    assert table.shape[0] == _EXP_ROWS and table.shape[1] % 128 == 0
+    assert rows % 8 == 0 and table.shape[1] % 128 == 0
+    assert out_f <= rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb // _SUPER,),
@@ -172,28 +175,28 @@ def monotone_expand(table, g, block_lo):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, _SUPER * BLOCK, _EXP_F), lambda b, lo: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, _SUPER * BLOCK, out_f), lambda b, lo: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, _SUPER, BLOCK), jnp.int32),
-            pltpu.VMEM((2, _EXP_ROWS, _WIN), jnp.float32),
+            pltpu.VMEM((2, rows, _WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        _expand_kernel,
-        out_shape=jax.ShapeDtypeStruct((nb // _SUPER, _SUPER * BLOCK, _EXP_F), jnp.float32),
+        partial(_expand_kernel, out_f=out_f),
+        out_shape=jax.ShapeDtypeStruct((nb // _SUPER, _SUPER * BLOCK, out_f), jnp.float32),
         grid_spec=grid_spec,
     )(block_lo, g.reshape(nb, BLOCK), table)
-    return out.reshape(K, _EXP_F)
+    return out.reshape(K, out_f)
 
 
-def expand_table(rows):
-    """Stack 1D per-gaussian f32 arrays into the lane-padded [24, Npad]
-    attr-major table the expand kernel consumes."""
+def expand_table(rows, height: int = _EXP_ROWS):
+    """Stack 1D per-gaussian f32 arrays into the lane-padded [height, Npad]
+    attr-major table the expand kernel consumes (height: multiple of 8)."""
     n = rows[0].shape[0]
     npad = (-(n) // 128) * -128 + _WIN
     table = jnp.stack(rows, axis=0)
-    table = jnp.pad(table, ((0, _EXP_ROWS - len(rows)), (0, npad - n)))
+    table = jnp.pad(table, ((0, height - len(rows)), (0, npad - n)))
     return table
 
 
@@ -215,7 +218,7 @@ _RA_WIN = _RA_SUPER * BLOCK + 2 * 128
 
 
 def _realign_kernel(srclo_ref, vcnt_ref, flat_hbm, out_ref, win, sems, *,
-                    k_total: int):
+                    k_total: int, n_rows: int = NUM_ATTRS):
     p = pl.program_id(0)
     nprog = pl.num_programs(0)
 
@@ -240,7 +243,7 @@ def _realign_kernel(srclo_ref, vcnt_ref, flat_hbm, out_ref, win, sems, *,
     lo0 = srclo_ref[p * _RA_SUPER]
     al = jnp.minimum(lo0 // 128, (k_total - _RA_WIN) // 128) * 128
     w = win[p % 2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NUM_ATTRS, BLOCK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, BLOCK), 1)
     for b in range(_RA_SUPER):
         off = srclo_ref[p * _RA_SUPER + b] - al  # in [0, _RA_WIN - BLOCK]
         blk = pltpu.roll(w, (_RA_WIN - off) % _RA_WIN, axis=1)[:, :BLOCK]
@@ -249,10 +252,12 @@ def _realign_kernel(srclo_ref, vcnt_ref, flat_hbm, out_ref, win, sems, *,
 
 
 def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
-    """Gather [16, K] flat tile-sorted entries into 256-aligned per-tile
-    blocks [nb_al, 16, BLOCK]; rows beyond a tile's real count are zeroed
-    (row 11 'valid' therefore reads 0 on padding)."""
-    K = flat_entries.shape[1]
+    """Gather [n_rows, K] flat tile-sorted entries into 256-aligned
+    per-tile blocks [nb_al, n_rows, BLOCK] (n_rows a multiple of 8; the
+    vanilla layout uses 16 with 'valid' at row 11); rows beyond a tile's
+    real count are zeroed, so the valid row reads 0 on padding."""
+    n_rows, K = flat_entries.shape
+    assert n_rows % 8 == 0
     assert nb_al % _RA_SUPER == 0
     assert K >= _RA_WIN, "num_entries must cover one realign window"
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -260,21 +265,21 @@ def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
         grid=(nb_al // _RA_SUPER,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, _RA_SUPER, NUM_ATTRS, BLOCK), lambda p, s, v: (p, 0, 0, 0)
+            (1, _RA_SUPER, n_rows, BLOCK), lambda p, s, v: (p, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_ATTRS, _RA_WIN), jnp.float32),
+            pltpu.VMEM((2, n_rows, _RA_WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        partial(_realign_kernel, k_total=K),
+        partial(_realign_kernel, k_total=K, n_rows=n_rows),
         out_shape=jax.ShapeDtypeStruct(
-            (nb_al // _RA_SUPER, _RA_SUPER, NUM_ATTRS, BLOCK), jnp.float32
+            (nb_al // _RA_SUPER, _RA_SUPER, n_rows, BLOCK), jnp.float32
         ),
         grid_spec=grid_spec,
     )(src_lo, vcnt, flat_entries)
-    return out.reshape(nb_al, NUM_ATTRS, BLOCK)
+    return out.reshape(nb_al, n_rows, BLOCK)
 
 
 _TILE = 16  # pixel tile edge (gaussian.TILE_X)

@@ -327,8 +327,66 @@ def rasterize_surfels(
         rect_min=pre.rect_min, rect_max=pre.rect_max,
         tiles_touched=pre.tiles_touched,
     )
-    binned = binning.bin_gaussians(pre_bin, grid_x, grid_y, settings.num_entries)
-    out = composite_surfel(grid_x, grid_y, settings.chunk, pre, binned)
+    backend = settings.backend
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if backend == "auto":
+        # Pallas surfel compositor is opt-in (backend="pallas") until its
+        # on-chip compile cost is characterized; auto keeps the
+        # differentiable XLA compositor (with fast binning on TPU)
+        backend = "xla"
+    if backend == "pallas":
+        # full Pallas forward (24-row entry layout + per-tile compositor).
+        # NOT differentiable — training uses backend="xla"
+        # (train_surfel forces it); this serves rendering/mesh extraction
+        # where the XLA compositor's dense segment-sum state updates cost
+        # seconds per frame on TPU.
+        from gaustudio_tpu.ops import rasterize_surfel_pallas as SP
+
+        sb = SP.bin_surfels_fast(pre, grid_x, grid_y, settings.num_entries)
+        packed = SP.composite_surfel_pallas(sb, grid_x, grid_y)
+        pad1 = lambda x, v=0.0: jnp.concatenate(
+            [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0
+        )
+        out = SurfelOut(
+            color=pad1(packed[:, 0:3, :].transpose(0, 2, 1)),
+            depth=pad1(packed[:, 3, :]),
+            normal=pad1(packed[:, 4:7, :].transpose(0, 2, 1)),
+            median_depth=pad1(packed[:, 7, :]),
+            median_weight=pad1(packed[:, 8, :]),
+            median_id=pad1(packed[:, 9, :]),
+            final_T=pad1(packed[:, 10, :], 1.0),
+            dist_m1=pad1(packed[:, 3, :]),
+            dist_m2=pad1(packed[:, 11, :]),
+        )
+        num_rendered = sb.num_rendered
+    else:
+        if on_tpu:
+            # XLA compositor (differentiable) but FAST binning: the
+            # searchsorted/gather binning costs hundreds of ms at scale on
+            # XLA-TPU. The exact-alpha cull inside is disabled by the
+            # all-zero conic (power 0 -> keep alpha = op), conservative
+            # and parity-safe.
+            from gaustudio_tpu.ops import binning_fast
+
+            pre_fast = pre_bin._replace(
+                conic=jnp.zeros((pre.mean2d.shape[0], 3), jnp.float32),
+            )
+            bf = binning_fast.bin_gaussians_fast(
+                pre_fast, grid_x, grid_y, settings.num_entries
+            )
+            gid, tile, valid_e, tile_start = binning_fast.compat_arrays(
+                bf, grid_x, grid_y
+            )
+            binned = binning.Binned(
+                gauss_id=gid, tile_id=tile, entry_valid=valid_e,
+                tile_start=tile_start,
+                tile_count=bf.tile_count, num_rendered=bf.num_rendered,
+            )
+        else:
+            binned = binning.bin_gaussians(pre_bin, grid_x, grid_y,
+                                           settings.num_entries)
+        out = composite_surfel(grid_x, grid_y, settings.chunk, pre, binned)
+        num_rendered = binned.num_rendered
 
     to_img = lambda x: tiles_to_image(x, grid_x, grid_y, H, W)
     alpha_img = (1.0 - to_img(out.final_T))[None]
@@ -345,5 +403,5 @@ def rasterize_surfels(
         "rendered_dist_m1": to_img(out.dist_m1)[None],
         "rendered_dist_m2": to_img(out.dist_m2)[None],
         "radii": pre.radii,
-        "num_rendered": binned.num_rendered,
+        "num_rendered": num_rendered,
     }

@@ -1,0 +1,376 @@
+"""Pallas TPU fast path for 2DGS surfel rasterization (forward).
+
+The surfel counterpart of binning_fast + rasterize_pallas: a 24-row entry
+layout carries the ray-splat homography (M, 9), the view-depth
+coefficients (Dk, 3), opacity, color, view-space normal and the gaussian
+id through the same compact-sort -> monotone-expand -> tile-sort ->
+256-aligned-realign pipeline, and a per-tile compositor kernel evaluates
+the two-plane intersection alpha (reference semantics of
+rasterize_surfel._surfel_alpha / composite_surfel) with entries on
+sublanes and pixels on lanes.
+
+Forward-only: training differentiates the XLA compositor path
+(rasterize_surfel.composite_surfel); this kernel serves rendering and
+mesh extraction (gs-extract-mesh on 2DGS models), where the XLA path's
+segment-sum state updates cost seconds per frame on TPU.
+
+Entry attribute rows: 0-8 M (Mx0..2, My0..2, Mw0..2), 9-11 Dk, 12 op,
+13-15 rgb, 16-18 normal_view, 19 gid, 20 valid, 21-23 pad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaustudio_tpu.ops.binning_fast import (
+    BLOCK,
+    _blocked_cumsum,
+    aligned_capacity,
+    expand_table,
+    monotone_expand,
+    realign_runs,
+)
+from gaustudio_tpu.ops.gaussian import NEAR_CULL_Z, TILE_PIXELS, TILE_X, TILE_Y
+
+S_ATTRS = 24  # entry rows (multiple of 8)
+_TBL_ROWS = 32  # expand-table height: 25 used rows, sublane-padded
+_TERM_EPS = 1e-4
+_ALPHA_MIN = 1.0 / 255.0
+_ALPHA_MAX = 0.99
+_FILTER_2D_VAR = 2.0
+NUM_OUT = 16  # packed output rows per tile
+
+
+class SurfelBinned(NamedTuple):
+    aligned_blocks: jnp.ndarray  # [NB_AL, 24, BLOCK] 256-aligned tile runs
+    tile_count: jnp.ndarray  # [T] int32
+    ablock_start: jnp.ndarray  # [T] int32
+    tile_start: jnp.ndarray  # [T] int32 (flat layout, for parity/debug)
+    sorted_tile: jnp.ndarray  # [K] int32
+    num_rendered: jnp.ndarray  # [] int32
+
+
+def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelBinned:
+    """Surfel twin of binning_fast.bin_gaussians_fast over SurfelPre."""
+    n = pre.depths.shape[0]
+    K = num_entries
+    num_tiles = grid_x * grid_y
+
+    # 1. compact: sort gaussians by (invalid, depth) with all attrs as
+    # payloads (N-sized sort; the reference analogue is depth-major
+    # duplication order)
+    invalid = (~pre.valid).astype(jnp.int32)
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    m_cols = [pre.M[:, r, c] for r in range(3) for c in range(3)]
+    attr_cols = m_cols + [
+        pre.Dk[:, 0], pre.Dk[:, 1], pre.Dk[:, 2],
+        pre.opacities,
+        pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
+        pre.normal_view[:, 0], pre.normal_view[:, 1], pre.normal_view[:, 2],
+    ]  # 19 rows: M9 + Dk3 + op + rgb3 + n3
+    sorted_g = jax.lax.sort(
+        (invalid, pre.depths)
+        + tuple(attr_cols)
+        + (
+            jnp.arange(n, dtype=jnp.float32),  # original gaussian id
+            pre.tiles_touched.astype(jnp.int32),
+            pre.rect_min[:, 0].astype(jnp.float32),
+            pre.rect_min[:, 1].astype(jnp.float32),
+            rect_w.astype(jnp.float32),
+        ),
+        num_keys=2, is_stable=True,
+    )
+    # operand indices: 0 invalid, 1 depth, 2-20 attrs, 21 gid, 22 tiles,
+    # 23 x0, 24 y0, 25 rw
+    tiles_c = sorted_g[22]  # sorted tiles_touched (i32)
+
+    # 2. slot -> compact-gaussian map (marker scatter + MXU cumsum)
+    starts = _blocked_cumsum(tiles_c).astype(jnp.int32)
+    total = starts[-1] + tiles_c[-1]
+    marker = jnp.zeros((K,), jnp.int32)
+    put = jnp.where((tiles_c > 0) & (starts < K), starts, K)
+    marker = marker.at[put].add(1, mode="drop")
+    g = (_blocked_cumsum(marker).astype(jnp.int32) + marker - 1)
+    g = jnp.maximum(g, 0)
+    slot_valid = jnp.arange(K) < jnp.minimum(total, K)
+
+    # 3. monotone run-expand: 25-row table -> [K, 25]
+    valid_s = (sorted_g[0] == 0).astype(jnp.float32)
+    table = expand_table(
+        [sorted_g[2 + i] for i in range(19)]  # attr rows 0-18
+        + [
+            sorted_g[21],  # 19: gid
+            valid_s,  # 20: valid
+            starts.astype(jnp.float32),  # 21
+            sorted_g[23],  # 22: x0
+            sorted_g[24],  # 23: y0
+            sorted_g[25],  # 24: rw
+        ],
+        height=_TBL_ROWS,
+    )
+    block_lo = g[::BLOCK]
+    expanded = monotone_expand(table, g, block_lo, out_f=25)
+
+    # 4. per-entry tile id (row-major rect walk); no exact-alpha cull for
+    # surfels (the intersection support is not an ellipse in pixel space)
+    slot = jnp.arange(K, dtype=jnp.int32)
+    j = slot - expanded[:, 21].astype(jnp.int32)
+    rw = jnp.maximum(expanded[:, 24].astype(jnp.int32), 1)
+    tx = expanded[:, 22].astype(jnp.int32) + j % rw
+    ty = expanded[:, 23].astype(jnp.int32) + j // rw
+    tile = ty * grid_x + tx
+    slot_ok = slot_valid & (expanded[:, 20] > 0.5)
+    tile = jnp.where(slot_ok, tile, num_tiles)
+
+    # 5. stable tile sort carrying the 20 attr+gid columns
+    cols = tuple(expanded[:, a] for a in range(20))
+    sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
+    sort_tile = sorted_ops[0]
+    valid_row = (sort_tile < num_tiles).astype(jnp.float32)
+    zero_row = jnp.zeros((K,), jnp.float32)
+    flat_entries = jnp.stack(
+        list(sorted_ops[1:21]) + [valid_row, zero_row, zero_row, zero_row],
+        axis=0,
+    )  # [24, K]
+
+    pos = jnp.searchsorted(
+        sort_tile, jnp.arange(num_tiles + 1, dtype=sort_tile.dtype)
+    ).astype(jnp.int32)
+    tile_start = pos[:num_tiles]
+    tile_count = pos[1:] - pos[:-1]
+
+    # 6. realign to 256-aligned per-tile runs
+    nb_al = aligned_capacity(K, num_tiles)
+    abpt = (tile_count + BLOCK - 1) // BLOCK
+    ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
+    bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(1, mode="drop")
+    blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
+    blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
+    src_lo = tile_start[blk_tile] + blk_k * BLOCK
+    vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
+    aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+
+    return SurfelBinned(
+        aligned_blocks=aligned_blocks,
+        tile_count=tile_count,
+        ablock_start=ablock_start,
+        tile_start=tile_start,
+        sorted_tile=sort_tile,
+        num_rendered=total,
+    )
+
+
+def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
+                   *, grid_x: int, tiles_per_prog: int):
+    gprog = pl.program_id(0)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
+    qx = (q % TILE_X).astype(jnp.float32)
+    qy = (q // TILE_X).astype(jnp.float32)
+
+    def tile_meta(t):
+        return ablock_ref[t], (count_ref[t] + BLOCK - 1) // BLOCK
+
+    def start_first_dma(i, t):
+        b0, nb = tile_meta(t)
+
+        @pl.when(nb > 0)
+        def _():
+            pltpu.make_async_copy(
+                blocks_hbm.at[b0], scratch.at[2 + i % 2], sems.at[2 + i % 2]
+            ).start()
+
+    start_first_dma(0, gprog * tiles_per_prog)
+
+    def tile_body(i, _):
+        t = gprog * tiles_per_prog + i
+        b0, n_blocks = tile_meta(t)
+
+        @pl.when(i + 1 < tiles_per_prog)
+        def _():
+            start_first_dma(i + 1, t + 1)
+
+        tx = (t % grid_x).astype(jnp.float32)
+        ty = (t // grid_x).astype(jnp.float32)
+        px = tx * TILE_X + qx  # (1, 256)
+        py = ty * TILE_Y + qy
+
+        def get_dma(slot, blk_idx):
+            return pltpu.make_async_copy(
+                blocks_hbm.at[b0 + blk_idx], scratch.at[slot], sems.at[slot]
+            )
+
+        row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
+        init = (
+            jnp.zeros((), jnp.int32),
+            row(1.0),  # T
+            row(0.0), row(0.0), row(0.0),  # rgb
+            row(0.0),  # D (== m1)
+            row(0.0), row(0.0), row(0.0),  # normal
+            row(0.0),  # med_d
+            row(0.0),  # med_w
+            row(0.0),  # med_i
+            row(0.0),  # m2
+            row(0.0),  # n_contrib
+        )
+
+        def cond(state):
+            c, T = state[0], state[1]
+            return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
+
+        def body(state):
+            (c, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = state
+            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
+
+            @pl.when(c + 1 < n_blocks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
+
+            get_dma(slot, c).wait()
+            blk = scratch[slot].T  # (24, BLOCK) -> (BLOCK, 24)
+
+            mx = [blk[:, k:k + 1] for k in range(3)]  # Mx coefficients
+            my = [blk[:, 3 + k:4 + k] for k in range(3)]
+            mw = [blk[:, 6 + k:7 + k] for k in range(3)]
+            dk0 = blk[:, 9:10]
+            dk1 = blk[:, 10:11]
+            dk2 = blk[:, 11:12]
+            op = blk[:, 12:13]
+            col_r = blk[:, 13:14]
+            col_g = blk[:, 14:15]
+            col_b = blk[:, 15:16]
+            nr0 = blk[:, 16:17]
+            nr1 = blk[:, 17:18]
+            nr2 = blk[:, 18:19]
+            gid = blk[:, 19:20]
+            vld = blk[:, 20:21]
+
+            # two-plane ray-splat intersection (reference _surfel_alpha)
+            hu = [px * mw[k] - mx[k] for k in range(3)]  # (BLOCK, 256) x3
+            hv = [py * mw[k] - my[k] for k in range(3)]
+            s0 = hu[1] * hv[2] - hu[2] * hv[1]
+            s1 = hu[2] * hv[0] - hu[0] * hv[2]
+            s2 = hu[0] * hv[1] - hu[1] * hv[0]
+            sz = jnp.where(jnp.abs(s2) < 1e-9, 1e-9, s2)
+            u = s0 / sz
+            v = s1 / sz
+            rho3d = u * u + v * v
+
+            wc = mw[2] + 1e-7
+            cx = mx[2] / wc
+            cy = my[2] / wc
+            dx = cx - px
+            dy = cy - py
+            rho2d = (dx * dx + dy * dy) / _FILTER_2D_VAR
+
+            rho = jnp.minimum(rho3d, rho2d)
+            G = jnp.exp(-0.5 * rho)
+            alpha = jnp.minimum(_ALPHA_MAX, op * G)
+            depth = dk0 * u + dk1 * v + dk2
+            alpha = jnp.where(
+                (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN) | (vld < 0.5),
+                0.0,
+                alpha,
+            )
+
+            # entry-axis inclusive prefix product of (1 - alpha)
+            cum = 1.0 - alpha
+            sft = 1
+            while sft < BLOCK:
+                shifted = pltpu.roll(cum, sft, axis=0)
+                shifted = jnp.where(subl < sft, 1.0, shifted)
+                cum = cum * shifted
+                sft *= 2
+
+            P_incl = T * cum
+            one_m = 1.0 - alpha
+            P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
+            applied = P_incl >= _TERM_EPS
+            w = jnp.where(applied, alpha * P_excl, 0.0)
+
+            r = r + jnp.sum(w * col_r, axis=0, keepdims=True)
+            gg = gg + jnp.sum(w * col_g, axis=0, keepdims=True)
+            b = b + jnp.sum(w * col_b, axis=0, keepdims=True)
+            D = D + jnp.sum(w * depth, axis=0, keepdims=True)
+            n0 = n0 + jnp.sum(w * nr0, axis=0, keepdims=True)
+            n1 = n1 + jnp.sum(w * nr1, axis=0, keepdims=True)
+            n2 = n2 + jnp.sum(w * nr2, axis=0, keepdims=True)
+            m2 = m2 + jnp.sum(w * depth * depth, axis=0, keepdims=True)
+
+            T = jnp.minimum(
+                T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0,
+                           keepdims=True)
+            )
+
+            cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
+            crossed = jnp.any(cross, axis=0, keepdims=True)
+            md = jnp.where(
+                crossed, jnp.sum(jnp.where(cross, depth, 0.0), 0, keepdims=True), md
+            )
+            mwt = jnp.where(
+                crossed,
+                jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0, keepdims=True),
+                mwt,
+            )
+            mi = jnp.where(
+                crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
+            )
+
+            pos1 = (c * BLOCK + subl + 1).astype(jnp.float32)
+            nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
+                                         keepdims=True))
+            return (c + 1, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
+
+        state = jax.lax.while_loop(cond, body, init)
+        c_fin, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc = state
+
+        @pl.when((c_fin > 0) & (c_fin < n_blocks))
+        def _():
+            get_dma(c_fin % 2, c_fin).wait()
+
+        out_ref[i] = jnp.concatenate(
+            [r, gg, b, D, n0, n1, n2, md, mwt, mi, T, m2, nc]
+            + [jnp.zeros((NUM_OUT - 13, TILE_PIXELS), jnp.float32)],
+            axis=0,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
+
+
+def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
+                            tiles_per_prog: int = 8):
+    """[T, 16, 256] packed surfel buffers: rows 0-2 rgb, 3 depth-sum (=m1),
+    4-6 view normal, 7 med_d, 8 med_w, 9 med_i, 10 final_T, 11 m2,
+    12 n_contrib."""
+    num_tiles = grid_x * grid_y
+    padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
+    pad = padded - num_tiles
+    ablock_start = jnp.pad(binned.ablock_start, (0, pad))
+    tile_count = jnp.pad(binned.tile_count, (0, pad))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(padded // tiles_per_prog,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, s, c: (t, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, S_ATTRS, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = partial(_surfel_kernel, grid_x=grid_x,
+                     tiles_per_prog=tiles_per_prog)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
+        grid_spec=grid_spec,
+    )(ablock_start, tile_count, binned.aligned_blocks)
+    return out[:num_tiles]

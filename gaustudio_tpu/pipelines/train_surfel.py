@@ -62,9 +62,11 @@ def render_surfels_from_params(params, valid, active_sh_degree,
 def train_step_surfel(state: GaussianTrainState, batch: CameraBatch,
                       settings: RasterizeSettings, cfg: SurfelTrainConfig):
     base = cfg.base
+    # backend="xla": the Pallas surfel compositor is forward-only; training
+    # differentiates the XLA compositor (fast binning still kicks in on TPU)
     s = settings._replace(
         viewmatrix=batch.viewmatrix, projmatrix=batch.projmatrix,
-        campos=batch.campos, bg=jnp.zeros(3),
+        campos=batch.campos, bg=jnp.zeros(3), backend="xla",
     )
     capacity = state.params["xyz"].shape[0]
     offset0 = jnp.zeros((capacity, 2), jnp.float32)

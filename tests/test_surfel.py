@@ -127,3 +127,35 @@ def test_surfel_renderer_registry():
     assert out["rendered_normal"].shape == (3, 48, 64)
     assert np.isfinite(np.asarray(out["render"])).all()
     assert float(np.asarray(out["rendered_final_opacity"]).max()) > 0.1
+
+
+def test_surfel_fast_binning_matches_xla_path():
+    """The pallas-backend surfel path (fast binning + XLA compositor) must
+    match the xla-backend path exactly (same entry order, no false culls)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    n = 80
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    xyz[:, 2] += 2.5
+    scales = np.abs(rng.normal(size=(n, 3)).astype(np.float32)) * 0.15 + 0.02
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    settings = _settings(_front_camera(64, 48))
+
+    def run(backend):
+        s = settings._replace(backend=backend, num_entries=1 << 13, chunk=512)
+        return rasterize_surfel.rasterize_surfels(
+            jnp.asarray(xyz), jnp.asarray(opac), s,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+            colors_precomp=jnp.asarray(colors),
+        )
+
+    ref = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        fast = run("pallas")
+    for k in ("render", "rendered_alpha", "rendered_normal_view",
+              "rendered_depth_sum", "rendered_median_depth"):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)

@@ -330,10 +330,11 @@ def rasterize_surfels(
     backend = settings.backend
     on_tpu = jax.devices()[0].platform != "cpu"
     if backend == "auto":
-        # Pallas surfel compositor is opt-in (backend="pallas") until its
-        # on-chip compile cost is characterized; auto keeps the
-        # differentiable XLA compositor (with fast binning on TPU)
-        backend = "xla"
+        # TPU rendering defaults to the Pallas forward (5x the XLA
+        # compositor); it is NOT differentiable — training code pins
+        # backend="xla" (train_surfel does), which keeps autodiff through
+        # the XLA compositor while still using fast binning on TPU.
+        backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
         # full Pallas forward (24-row entry layout + per-tile compositor).
         # NOT differentiable — training uses backend="xla"

@@ -62,9 +62,12 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
     K = num_entries
     num_tiles = grid_x * grid_y
 
-    # 1. compact: sort gaussians by (invalid, depth) with all attrs as
-    # payloads (N-sized sort; the reference analogue is depth-major
-    # duplication order)
+    # 1. compact: sort gaussians by (invalid, depth). XLA variadic sort
+    # codegen scales pathologically past ~16 operands (a 26-operand sort
+    # COMPILES for over an hour on the remote Mosaic/XLA service), and
+    # random gathers at entry scale run at seconds — so the 24 payload
+    # columns ride through TWO stable sorts with identical keys (stable =>
+    # identical permutations), each within the known-good operand budget.
     invalid = (~pre.valid).astype(jnp.int32)
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
     m_cols = [pre.M[:, r, c] for r in range(3) for c in range(3)]
@@ -73,21 +76,21 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
         pre.opacities,
         pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
         pre.normal_view[:, 0], pre.normal_view[:, 1], pre.normal_view[:, 2],
-    ]  # 19 rows: M9 + Dk3 + op + rgb3 + n3
-    sorted_g = jax.lax.sort(
-        (invalid, pre.depths)
-        + tuple(attr_cols)
-        + (
-            jnp.arange(n, dtype=jnp.float32),  # original gaussian id
-            pre.tiles_touched.astype(jnp.int32),
-            pre.rect_min[:, 0].astype(jnp.float32),
-            pre.rect_min[:, 1].astype(jnp.float32),
-            rect_w.astype(jnp.float32),
-        ),
-        num_keys=2, is_stable=True,
+    ]  # 19 cols: M9 + Dk3 + op + rgb3 + n3
+    tail_cols = (
+        jnp.arange(n, dtype=jnp.float32),  # original gaussian id
+        pre.tiles_touched.astype(jnp.int32),
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        rect_w.astype(jnp.float32),
     )
-    # operand indices: 0 invalid, 1 depth, 2-20 attrs, 21 gid, 22 tiles,
+    keys = (invalid, pre.depths)
+    s1 = jax.lax.sort(keys + tuple(attr_cols[:12]), num_keys=2, is_stable=True)
+    s2 = jax.lax.sort(keys + tuple(attr_cols[12:]) + tail_cols, num_keys=2,
+                      is_stable=True)
+    # column indices: 0 invalid, 1 depth, 2-20 attrs, 21 gid, 22 tiles,
     # 23 x0, 24 y0, 25 rw
+    sorted_g = list(s1) + list(s2[2:])
     tiles_c = sorted_g[22]  # sorted tiles_touched (i32)
 
     # 2. slot -> compact-gaussian map (marker scatter + MXU cumsum)
@@ -128,14 +131,24 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
     slot_ok = slot_valid & (expanded[:, 20] > 0.5)
     tile = jnp.where(slot_ok, tile, num_tiles)
 
-    # 5. stable tile sort carrying the 20 attr+gid columns
-    cols = tuple(expanded[:, a] for a in range(20))
-    sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
-    sort_tile = sorted_ops[0]
+    # 5. stable tile sort carrying the 20 attr+gid columns through TWO
+    # <=12-operand stable sorts with identical keys (see the compact-sort
+    # note: variadic sort codegen blows past ~16 operands, and row gathers
+    # at entry scale run at seconds on XLA-TPU)
+    t1 = jax.lax.sort(
+        (tile,) + tuple(expanded[:, a] for a in range(10)),
+        num_keys=1, is_stable=True,
+    )
+    t2 = jax.lax.sort(
+        (tile,) + tuple(expanded[:, a] for a in range(10, 20)),
+        num_keys=1, is_stable=True,
+    )
+    sort_tile = t1[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
     flat_entries = jnp.stack(
-        list(sorted_ops[1:21]) + [valid_row, zero_row, zero_row, zero_row],
+        list(t1[1:]) + list(t2[1:])
+        + [valid_row, zero_row, zero_row, zero_row],
         axis=0,
     )  # [24, K]
 

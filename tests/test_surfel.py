@@ -159,3 +159,47 @@ def test_surfel_fast_binning_matches_xla_path():
               "rendered_depth_sum", "rendered_median_depth"):
         np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(ref[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_surfel_pallas_empty_and_saturated():
+    """Edge cases for the Pallas surfel path: an empty scene (all culled)
+    and a heavily saturated stack of opaque surfels."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    settings = _settings(_front_camera(64, 48))._replace(
+        backend="pallas", num_entries=1 << 13, chunk=512
+    )
+
+    # empty: all surfels behind the camera
+    n = 16
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 2] = -5.0
+    scales = np.full((n, 3), 0.1, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    with pltpu.force_tpu_interpret_mode():
+        out = rasterize_surfel.rasterize_surfels(
+            jnp.asarray(xyz), jnp.full(n, 0.9), settings,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+            colors_precomp=jnp.full((n, 3), 0.5),
+        )
+    assert float(jnp.max(out["rendered_alpha"])) == 0.0
+    assert np.isfinite(np.asarray(out["render"])).all()
+
+    # saturated: 200 overlapping opaque surfels in front of the camera —
+    # transmittance must terminate, outputs stay finite, alpha ~ 1
+    n = 200
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 2] = np.linspace(1.0, 2.0, n)
+    scales = np.full((n, 3), 0.1, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    with pltpu.force_tpu_interpret_mode():
+        out = rasterize_surfel.rasterize_surfels(
+            jnp.asarray(xyz), jnp.full(n, 0.95), settings,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+            colors_precomp=jnp.full((n, 3), 0.5),
+        )
+    img = np.asarray(out["render"])
+    alpha = np.asarray(out["rendered_alpha"])
+    assert np.isfinite(img).all() and np.isfinite(alpha).all()
+    cy, cx = 24, 32
+    assert alpha[0, cy, cx] > 0.99

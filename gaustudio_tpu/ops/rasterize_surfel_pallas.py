@@ -15,7 +15,9 @@ mesh extraction (gs-extract-mesh on 2DGS models), where the XLA path's
 segment-sum state updates cost seconds per frame on TPU.
 
 Entry attribute rows: 0-8 M (Mx0..2, My0..2, Mw0..2), 9-11 Dk, 12 op,
-13-15 rgb, 16-18 normal_view, 19 gid, 20 valid, 21-23 pad.
+13-15 rgb, 16-18 normal_view, 19 gid, 20 valid, 21 pre-tile-sort slot
+(backward reduction), 22-23 mean2d (cx, cy — includes means2d_offset, used
+by the 2D low-pass branch and the densification gradient).
 """
 
 from __future__ import annotations
@@ -49,11 +51,14 @@ NUM_OUT = 16  # packed output rows per tile
 
 class SurfelBinned(NamedTuple):
     aligned_blocks: jnp.ndarray  # [NB_AL, 24, BLOCK] 256-aligned tile runs
+    flat_entries: jnp.ndarray  # [24, K] tile-sorted flat layout (backward)
     tile_count: jnp.ndarray  # [T] int32
     ablock_start: jnp.ndarray  # [T] int32
-    tile_start: jnp.ndarray  # [T] int32 (flat layout, for parity/debug)
+    tile_start: jnp.ndarray  # [T] int32 (flat layout)
     sorted_tile: jnp.ndarray  # [K] int32
     num_rendered: jnp.ndarray  # [] int32
+    slot_gauss: jnp.ndarray  # [K] int32 slot -> compact gaussian (monotone)
+    compact_gid: jnp.ndarray  # [N] int32 compact order -> original gaussian
 
 
 def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelBinned:
@@ -76,7 +81,9 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
         pre.opacities,
         pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
         pre.normal_view[:, 0], pre.normal_view[:, 1], pre.normal_view[:, 2],
-    ]  # 19 cols: M9 + Dk3 + op + rgb3 + n3
+        jax.lax.stop_gradient(pre.mean2d[:, 0]),
+        jax.lax.stop_gradient(pre.mean2d[:, 1]),
+    ]  # 21 cols: M9 + Dk3 + op + rgb3 + n3 + mean2d
     tail_cols = (
         jnp.arange(n, dtype=jnp.float32),  # original gaussian id
         pre.tiles_touched.astype(jnp.int32),
@@ -88,10 +95,10 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
     s1 = jax.lax.sort(keys + tuple(attr_cols[:12]), num_keys=2, is_stable=True)
     s2 = jax.lax.sort(keys + tuple(attr_cols[12:]) + tail_cols, num_keys=2,
                       is_stable=True)
-    # column indices: 0 invalid, 1 depth, 2-20 attrs, 21 gid, 22 tiles,
-    # 23 x0, 24 y0, 25 rw
+    # column indices: 0 invalid, 1 depth, 2-22 attrs (2-20 kernel attrs,
+    # 21-22 mean2d), 23 gid, 24 tiles, 25 x0, 26 y0, 27 rw
     sorted_g = list(s1) + list(s2[2:])
-    tiles_c = sorted_g[22]  # sorted tiles_touched (i32)
+    tiles_c = sorted_g[24]  # sorted tiles_touched (i32)
 
     # 2. slot -> compact-gaussian map (marker scatter + MXU cumsum)
     starts = _blocked_cumsum(tiles_c).astype(jnp.int32)
@@ -103,36 +110,38 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
     g = jnp.maximum(g, 0)
     slot_valid = jnp.arange(K) < jnp.minimum(total, K)
 
-    # 3. monotone run-expand: 25-row table -> [K, 25]
+    # 3. monotone run-expand: 27-row table -> [K, 27]
     valid_s = (sorted_g[0] == 0).astype(jnp.float32)
     table = expand_table(
-        [sorted_g[2 + i] for i in range(19)]  # attr rows 0-18
+        [sorted_g[2 + i] for i in range(21)]  # attr rows 0-20 (+mean2d 19-20)
         + [
-            sorted_g[21],  # 19: gid
-            valid_s,  # 20: valid
-            starts.astype(jnp.float32),  # 21
-            sorted_g[23],  # 22: x0
-            sorted_g[24],  # 23: y0
-            sorted_g[25],  # 24: rw
+            sorted_g[23],  # 21: gid
+            valid_s,  # 22: valid
+            starts.astype(jnp.float32),  # 23
+            sorted_g[25],  # 24: x0
+            sorted_g[26],  # 25: y0
+            sorted_g[27],  # 26: rw
         ],
         height=_TBL_ROWS,
     )
     block_lo = g[::BLOCK]
-    expanded = monotone_expand(table, g, block_lo, out_f=25)
+    expanded = monotone_expand(table, g, block_lo, out_f=27)
+    # expanded cols: 0-18 kernel attrs, 19-20 mean2d, 21 gid, 22 valid,
+    # 23 starts, 24 x0, 25 y0, 26 rw
 
     # 4. per-entry tile id (row-major rect walk); no exact-alpha cull for
     # surfels (the intersection support is not an ellipse in pixel space)
     slot = jnp.arange(K, dtype=jnp.int32)
-    j = slot - expanded[:, 21].astype(jnp.int32)
-    rw = jnp.maximum(expanded[:, 24].astype(jnp.int32), 1)
-    tx = expanded[:, 22].astype(jnp.int32) + j % rw
-    ty = expanded[:, 23].astype(jnp.int32) + j // rw
+    j = slot - expanded[:, 23].astype(jnp.int32)
+    rw = jnp.maximum(expanded[:, 26].astype(jnp.int32), 1)
+    tx = expanded[:, 24].astype(jnp.int32) + j % rw
+    ty = expanded[:, 25].astype(jnp.int32) + j // rw
     tile = ty * grid_x + tx
-    slot_ok = slot_valid & (expanded[:, 20] > 0.5)
+    slot_ok = slot_valid & (expanded[:, 22] > 0.5)
     tile = jnp.where(slot_ok, tile, num_tiles)
 
-    # 5. stable tile sort carrying the 20 attr+gid columns through TWO
-    # <=12-operand stable sorts with identical keys (see the compact-sort
+    # 5. stable tile sort carrying the 22 attr+gid columns through TWO
+    # <=14-operand stable sorts with identical keys (see the compact-sort
     # note: variadic sort codegen blows past ~16 operands, and row gathers
     # at entry scale run at seconds on XLA-TPU)
     t1 = jax.lax.sort(
@@ -140,15 +149,21 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
         num_keys=1, is_stable=True,
     )
     t2 = jax.lax.sort(
-        (tile,) + tuple(expanded[:, a] for a in range(10, 20)),
+        (tile,) + tuple(expanded[:, a] for a in range(10, 22))
+        + (slot.astype(jnp.float32),),
         num_keys=1, is_stable=True,
     )
     sort_tile = t1[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
-    zero_row = jnp.zeros((K,), jnp.float32)
+    # t2 payload order: cols 10-18 attrs -> t2[1:10]; col 19 cx -> t2[10];
+    # col 20 cy -> t2[11]; col 21 gid -> t2[12]; slot -> t2[13]
     flat_entries = jnp.stack(
-        list(t1[1:]) + list(t2[1:])
-        + [valid_row, zero_row, zero_row, zero_row],
+        list(t1[1:])             # rows 0-9: attrs
+        + list(t2[1:10])         # rows 10-18: attrs
+        + [t2[12]]               # row 19: gid
+        + [valid_row]            # row 20: valid
+        + [t2[13]]               # row 21: slot
+        + [t2[10], t2[11]],      # rows 22-23: mean2d (cx, cy)
         axis=0,
     )  # [24, K]
 
@@ -171,11 +186,14 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
 
     return SurfelBinned(
         aligned_blocks=aligned_blocks,
+        flat_entries=flat_entries,
         tile_count=tile_count,
         ablock_start=ablock_start,
         tile_start=tile_start,
         sorted_tile=sort_tile,
         num_rendered=total,
+        slot_gauss=g.astype(jnp.int32),
+        compact_gid=sorted_g[23].astype(jnp.int32),
     )
 
 
@@ -263,6 +281,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             nr2 = blk[:, 18:19]
             gid = blk[:, 19:20]
             vld = blk[:, 20:21]
+            cx = blk[:, 22:23]
+            cy = blk[:, 23:24]
 
             # two-plane ray-splat intersection (reference _surfel_alpha)
             hu = [px * mw[k] - mx[k] for k in range(3)]  # (BLOCK, 256) x3
@@ -275,9 +295,6 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             v = s1 / sz
             rho3d = u * u + v * v
 
-            wc = mw[2] + 1e-7
-            cx = mx[2] / wc
-            cy = my[2] / wc
             dx = cx - px
             dy = cy - py
             rho2d = (dx * dx + dy * dy) / _FILTER_2D_VAR

@@ -347,7 +347,8 @@ _SEG_WIN = _SEG_SUPER * BLOCK + 2 * 128  # gaussian window lanes (aligned)
 
 
 def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
-                      g_scr, gr_scr, win, sems, rmw_sem):
+                      g_scr, gr_scr, win, sems, rmw_sem, *,
+                      n_rows: int = NUM_ATTRS):
     sb = pl.program_id(0)
     nprog = pl.num_programs(0)
 
@@ -390,8 +391,8 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
     for dma in input_dmas(sb, slot):
         dma.wait()
 
-    # attr-major accumulator: [16, _SEG_WIN] keeps every op lane-dense
-    acc = jnp.zeros((NUM_ATTRS, _SEG_WIN), jnp.float32)
+    # attr-major accumulator: [n_rows, _SEG_WIN] keeps every op lane-dense
+    acc = jnp.zeros((n_rows, _SEG_WIN), jnp.float32)
     for b in range(_SEG_SUPER):
         lo_b = blk_lo_ref[base_blk + b]
         off = lo_b - aligned
@@ -408,7 +409,7 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
             precision=jax.lax.Precision.HIGHEST,
         )  # [16, 256 gaussians]
         block_acc = jnp.concatenate(
-            [partial, jnp.zeros((NUM_ATTRS, _SEG_WIN - BLOCK), jnp.float32)],
+            [partial, jnp.zeros((n_rows, _SEG_WIN - BLOCK), jnp.float32)],
             axis=1,
         )
         # shift to the gaussian offset within the window (dynamic lane roll)
@@ -426,18 +427,21 @@ def segment_reduce_compact(grads_table, g, block_lo, num_gaussians: int):
     """Sum slot-ordered gradient rows per compact gaussian.
 
     Args:
-        grads_table: [16, K] attr-major slot-ordered gradients.
+        grads_table: [n_rows, K] attr-major slot-ordered gradients
+            (n_rows a multiple of 8; vanilla uses 16).
         g: [K] monotone slot -> compact gaussian map.
         block_lo: g[::BLOCK].
         num_gaussians: N.
 
-    Returns [N, 16] sums in compact order.
+    Returns [N, n_rows] sums in compact order.
     """
+    n_rows = grads_table.shape[0]
+    assert n_rows % 8 == 0
     K = g.shape[0]
     nb = K // BLOCK
     assert nb % _SEG_SUPER == 0
     npad = -(-num_gaussians // 128) * 128 + _SEG_WIN
-    zeros = jnp.zeros((NUM_ATTRS, npad), jnp.float32)
+    zeros = jnp.zeros((n_rows, npad), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb // _SEG_SUPER,),
@@ -449,15 +453,15 @@ def segment_reduce_compact(grads_table, g, block_lo, num_gaussians: int):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, _SEG_SUPER, BLOCK), jnp.int32),
-            pltpu.VMEM((2, NUM_ATTRS, _SEG_SUPER * BLOCK), jnp.float32),
-            pltpu.VMEM((NUM_ATTRS, _SEG_WIN), jnp.float32),
+            pltpu.VMEM((2, n_rows, _SEG_SUPER * BLOCK), jnp.float32),
+            pltpu.VMEM((n_rows, _SEG_WIN), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        _segreduce_kernel,
-        out_shape=jax.ShapeDtypeStruct((NUM_ATTRS, npad), jnp.float32),
+        partial(_segreduce_kernel, n_rows=n_rows),
+        out_shape=jax.ShapeDtypeStruct((n_rows, npad), jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(

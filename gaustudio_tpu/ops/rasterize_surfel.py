@@ -296,6 +296,57 @@ def composite_surfel(grid_x, grid_y, chunk, pre: SurfelPre, binned) -> SurfelOut
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def composite_surfel_fast(grid_x, grid_y, M, Dk, mean2d, opacities, colors,
+                          normal_view, binned):
+    """Pallas surfel compositor with a custom VJP.
+
+    The kernel reads entry data from ``binned`` (built from stop-gradiented
+    preprocess outputs); the explicit array args exist to receive the
+    gradients computed by the Pallas reverse-walk backward."""
+    from gaustudio_tpu.ops import rasterize_surfel_pallas as SP
+
+    return SP.composite_surfel_pallas(binned, grid_x, grid_y)
+
+
+def _csf_fwd(grid_x, grid_y, M, Dk, mean2d, opacities, colors, normal_view,
+             binned):
+    packed = composite_surfel_fast(grid_x, grid_y, M, Dk, mean2d, opacities,
+                                   colors, normal_view, binned)
+    return packed, (binned, packed[:, 10, :], packed[:, 12, :])
+
+
+def _csf_bwd(grid_x, grid_y, res, dp):
+    from gaustudio_tpu.ops import rasterize_surfel_pallas_bwd as SB
+
+    binned, final_T, n_contrib = res
+    # packed rows: 0-2 C, 3 depth-sum (fans out to depth AND m1 so its
+    # cotangent already sums both), 4-6 normal, 7 med_d, 8 med_w, 9 med_i,
+    # 10 final_T, 11 m2, 12 n_contrib. alpha output = 1 - T_f => dA = -dTf.
+    ct_tiles = jnp.concatenate(
+        [
+            dp[:, 0:3, :],  # dCr dCg dCb
+            dp[:, 3:4, :],  # dDsum (depth + m1)
+            dp[:, 11:12, :],  # dm2
+            dp[:, 4:7, :],  # dN
+            -dp[:, 10:11, :],  # dA
+            dp[:, 7:8, :],  # dMed
+            final_T[:, None, :],
+            n_contrib[:, None, :],
+        ],
+        axis=1,
+    )
+    grads_flat = SB.composite_surfel_backward_pallas(binned, ct_tiles,
+                                                     grid_x, grid_y)
+    dM, dDk, dop, dcol, dnrm, dmean2d = SB.reduce_surfel_entry_grads(
+        grads_flat, binned, res[0].compact_gid.shape[0]
+    )
+    return (dM, dDk, dmean2d, dop, dcol, dnrm, None)
+
+
+composite_surfel_fast.defvjp(_csf_fwd, _csf_bwd)
+
+
 def rasterize_surfels(
     means3D, opacities, settings, *, scales, rotations, shs=None,
     colors_precomp=None, means2D_offset=None, active_sh_degree=None,
@@ -336,15 +387,21 @@ def rasterize_surfels(
         # the XLA compositor while still using fast binning on TPU.
         backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
-        # full Pallas forward (24-row entry layout + per-tile compositor).
-        # NOT differentiable — training uses backend="xla"
-        # (train_surfel forces it); this serves rendering/mesh extraction
-        # where the XLA compositor's dense segment-sum state updates cost
-        # seconds per frame on TPU.
+        # full Pallas path (24-row entry layout + per-tile compositor),
+        # differentiable through composite_surfel_fast's custom_vjp
+        # (Pallas reverse-walk backward + per-gaussian reduction)
         from gaustudio_tpu.ops import rasterize_surfel_pallas as SP
 
-        sb = SP.bin_surfels_fast(pre, grid_x, grid_y, settings.num_entries)
-        packed = SP.composite_surfel_pallas(sb, grid_x, grid_y)
+        pre_sg = jax.tree.map(
+            lambda x: jax.lax.stop_gradient(x)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            pre,
+        )
+        sb = SP.bin_surfels_fast(pre_sg, grid_x, grid_y, settings.num_entries)
+        packed = composite_surfel_fast(
+            grid_x, grid_y, pre.M, pre.Dk, pre.mean2d, pre.opacities,
+            pre.colors, pre.normal_view, sb,
+        )
         pad1 = lambda x, v=0.0: jnp.concatenate(
             [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0
         )

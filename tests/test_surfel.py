@@ -203,3 +203,52 @@ def test_surfel_pallas_empty_and_saturated():
     assert np.isfinite(img).all() and np.isfinite(alpha).all()
     cy, cx = 24, 32
     assert alpha[0, cy, cx] > 0.99
+
+
+def test_surfel_pallas_gradients_match_xla():
+    """jax.grad through the Pallas surfel path (custom_vjp backward) must
+    match the XLA compositor's autodiff gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    n = 60
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.35
+    xyz[:, 2] += 2.4
+    scales = np.abs(rng.normal(size=(n, 2)).astype(np.float32)) * 0.12 + 0.03
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    colors = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    settings = _settings(_front_camera(64, 48))
+    wr = jnp.asarray(rng.normal(size=(3, 48, 64)).astype(np.float32))
+    wd = jnp.asarray(rng.normal(size=(1, 48, 64)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(1, 48, 64)).astype(np.float32))
+    wn = jnp.asarray(rng.normal(size=(3, 48, 64)).astype(np.float32))
+    wm = jnp.asarray(rng.normal(size=(1, 48, 64)).astype(np.float32))
+
+    def loss(backend, xyz, opac, scales, quats, colors, off):
+        s = settings._replace(backend=backend, num_entries=1 << 13, chunk=512)
+        out = rasterize_surfel.rasterize_surfels(
+            xyz, opac, s, scales=scales, rotations=quats,
+            colors_precomp=colors, means2D_offset=off,
+        )
+        return (jnp.sum(out["render"] * wr)
+                + jnp.sum(out["rendered_depth_sum"] * wd)
+                + jnp.sum(out["rendered_alpha"] * wa)
+                + jnp.sum(out["rendered_normal_view"] * wn)
+                + jnp.sum(out["rendered_dist_m2"] * wm)
+                + 0.5 * jnp.sum(out["rendered_dist_m1"] * wd))
+
+    args = (jnp.asarray(xyz), jnp.asarray(opac), jnp.asarray(scales),
+            jnp.asarray(quats), jnp.asarray(colors),
+            jnp.zeros((n, 2), jnp.float32))
+    g_ref = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(lambda *a: loss("pallas", *a),
+                         argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ["xyz", "opac", "scales", "quats", "colors", "offset"]
+    for nm, a, b in zip(names, g_pal, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        assert np.isfinite(a).all(), nm
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=nm)

@@ -191,13 +191,20 @@ def _surfel_alpha(M, Dk, mean2d, opac, valid, tile, grid_x):
     dy = mean2d[:, 1:2] - py
     rho2d = (dx * dx + dy * dy) / _FILTER_2D_VAR
 
+    use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
     G = jnp.exp(-0.5 * rho)
     alpha = jnp.minimum(_ALPHA_MAX, opac[:, None] * G)
     alpha = jnp.where((alpha < _ALPHA_MIN) | ~valid[:, None], 0.0, alpha)
 
-    depth = (
-        Dk[:, 0][:, None] * u + Dk[:, 1][:, None] * v + Dk[:, 2][:, None]
+    # 2D low-pass branch uses the CENTER depth (reference 2DGS semantics:
+    # diff-surfel forward `depth = (rho3d <= rho2d) ? s.Tw+Tw.z : Tw.z`).
+    # Routing depth through (u, v) on the 2D branch is also numerically
+    # catastrophic for gradients when the splat is edge-on (s_z ~ 0).
+    depth = jnp.where(
+        use3d,
+        Dk[:, 0][:, None] * u + Dk[:, 1][:, None] * v + Dk[:, 2][:, None],
+        Dk[:, 2][:, None],
     )
     # behind-camera intersections get no contribution
     alpha = jnp.where(depth > NEAR_CULL_Z, alpha, 0.0)
@@ -381,10 +388,9 @@ def rasterize_surfels(
     backend = settings.backend
     on_tpu = jax.devices()[0].platform != "cpu"
     if backend == "auto":
-        # TPU rendering defaults to the Pallas forward (5x the XLA
-        # compositor); it is NOT differentiable — training code pins
-        # backend="xla" (train_surfel does), which keeps autodiff through
-        # the XLA compositor while still using fast binning on TPU.
+        # TPU defaults to the full Pallas path (5x the XLA compositor
+        # forward, differentiable via composite_surfel_fast's custom_vjp
+        # reverse-walk backward); CPU uses the XLA golden path.
         backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
         # full Pallas path (24-row entry layout + per-tile compositor),

@@ -9,10 +9,10 @@ the two-plane intersection alpha (reference semantics of
 rasterize_surfel._surfel_alpha / composite_surfel) with entries on
 sublanes and pixels on lanes.
 
-Forward-only: training differentiates the XLA compositor path
-(rasterize_surfel.composite_surfel); this kernel serves rendering and
-mesh extraction (gs-extract-mesh on 2DGS models), where the XLA path's
-segment-sum state updates cost seconds per frame on TPU.
+Differentiable: rasterize_surfel.composite_surfel_fast wraps this forward
+with a custom_vjp whose backward is the Pallas reverse walk in
+rasterize_surfel_pallas_bwd — training (train_surfel) runs fwd+bwd fully
+in Pallas on TPU; the XLA compositor remains the CPU/golden path.
 
 Entry attribute rows: 0-8 M (Mx0..2, My0..2, Mw0..2), 9-11 Dk, 12 op,
 13-15 rgb, 16-18 normal_view, 19 gid, 20 valid, 21 pre-tile-sort slot
@@ -299,10 +299,12 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             dy = cy - py
             rho2d = (dx * dx + dy * dy) / _FILTER_2D_VAR
 
+            use3d = rho3d <= rho2d
             rho = jnp.minimum(rho3d, rho2d)
             G = jnp.exp(-0.5 * rho)
             alpha = jnp.minimum(_ALPHA_MAX, op * G)
-            depth = dk0 * u + dk1 * v + dk2
+            # 2D-branch depth = center depth (reference 2DGS semantics)
+            depth = jnp.where(use3d, dk0 * u + dk1 * v + dk2, dk2)
             alpha = jnp.where(
                 (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN) | (vld < 0.5),
                 0.0,

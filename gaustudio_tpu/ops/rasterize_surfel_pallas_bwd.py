@@ -190,7 +190,8 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
             rho = jnp.minimum(rho3d, rho2d)
             G = jnp.exp(-0.5 * rho)
             alpha = jnp.minimum(_ALPHA_MAX, op * G)
-            depth = dk0 * u + dk1 * v + dk2
+            # 2D-branch depth = center depth (reference 2DGS semantics)
+            depth = jnp.where(use3d, dk0 * u + dk1 * v + dk2, dk2)
             alpha = jnp.where(
                 (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN) | (vld < 0.5),
                 0.0,
@@ -227,15 +228,16 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
             drho = -0.5 * G * dG_t  # (BLOCK, 256)
             d_op = jnp.sum(G * dL_dalpha, axis=1, keepdims=True)
 
-            # depth cotangent (always through u, v regardless of branch)
+            # depth cotangent; flows through (u, v) only on the 3D branch
             ddep = w * dDs + 2.0 * depth * w * dM2 + jnp.where(cross, dMed, 0.0)
+            ddep3 = jnp.where(use3d, ddep, 0.0)
 
             # 3D branch: rho3d = u^2 + v^2
-            du = jnp.where(use3d, 2.0 * u * drho, 0.0) + dk0 * ddep
-            dv = jnp.where(use3d, 2.0 * v * drho, 0.0) + dk1 * ddep
+            du = jnp.where(use3d, 2.0 * u * drho, 0.0) + dk0 * ddep3
+            dv = jnp.where(use3d, 2.0 * v * drho, 0.0) + dk1 * ddep3
 
-            d_dk0 = jnp.sum(u * ddep, axis=1, keepdims=True)
-            d_dk1 = jnp.sum(v * ddep, axis=1, keepdims=True)
+            d_dk0 = jnp.sum(u * ddep3, axis=1, keepdims=True)
+            d_dk1 = jnp.sum(v * ddep3, axis=1, keepdims=True)
             d_dk2 = jnp.sum(ddep, axis=1, keepdims=True)
 
             ds0 = du / sz

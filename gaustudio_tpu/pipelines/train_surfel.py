@@ -62,11 +62,12 @@ def render_surfels_from_params(params, valid, active_sh_degree,
 def train_step_surfel(state: GaussianTrainState, batch: CameraBatch,
                       settings: RasterizeSettings, cfg: SurfelTrainConfig):
     base = cfg.base
-    # backend="xla": the Pallas surfel compositor is forward-only; training
-    # differentiates the XLA compositor (fast binning still kicks in on TPU)
+    # backend="auto": on TPU this takes the full Pallas path (forward
+    # compositor + reverse-walk backward via composite_surfel_fast's
+    # custom_vjp); on CPU it differentiates the XLA compositor.
     s = settings._replace(
         viewmatrix=batch.viewmatrix, projmatrix=batch.projmatrix,
-        campos=batch.campos, bg=jnp.zeros(3), backend="xla",
+        campos=batch.campos, bg=jnp.zeros(3), backend="auto",
     )
     capacity = state.params["xyz"].shape[0]
     offset0 = jnp.zeros((capacity, 2), jnp.float32)

@@ -8,5 +8,5 @@ make = _registry.make
 keys = _registry.keys
 
 from gaustudio_tpu.pipelines.initializers import (  # noqa: E402,F401
-    base, pcd, depth, gaussiansky, mesh, mask, colmap,
+    base, pcd, depth, dust3r, gaussiansky, mesh, mask, colmap,
 )

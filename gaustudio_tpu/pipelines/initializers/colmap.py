@@ -177,20 +177,3 @@ class LoftrInitializer(HlocInitializer):
         os.makedirs(out, exist_ok=True)
         triangulation.main(out, ws / "model", ws / "images",
                            ws / "pairs-sfm.txt", feats, matches)
-
-
-@initializers.register("dust3r")
-class Dust3rInitializer(BaseInitializer):
-    """Learned two-view-geometry initializer delegating to the external
-    `mini_dust3r` package (reference dust3r.py:52-210: <=20 images, crop to
-    principal point, global alignment with preset poses, fused ply)."""
-
-    def __init__(self, initializer_config):
-        super().__init__(initializer_config)
-
-    def build_model(self, model):
-        raise ImportError(
-            "The 'dust3r' initializer wraps the external `mini_dust3r` "
-            "model, which is not bundled. Install it on the host, or use "
-            "the 'colmap'/'hloc'/'pcd'/'depth' initializers."
-        )

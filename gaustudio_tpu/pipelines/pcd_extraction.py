@@ -198,3 +198,63 @@ def mesh_sap(xyz, normals, grid_res: int = 128, sigma: float = 2.0):
     sap = ShapeAsPoints.from_pointcloud(xyz, normals,
                                         {"grid_res": grid_res, "psr_sigma": sigma})
     return sap.generate_mesh()
+
+
+def mesh_nksr(xyz, normals, voxel_size: float = 0.008, detail_level: int = 0):
+    """NKSR meshing backend — delegates to the external ``nksr`` package
+    (reference gaustudio/scripts/extract_pcd.py:53-66). Returns
+    (verts [V,3], faces [F,3]) like mesh_sap."""
+    try:
+        import torch
+        from nksr import Reconstructor
+    except ImportError as e:
+        raise ImportError("Please install nksr to use this feature.") from e
+    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+    pts = torch.as_tensor(np.asarray(xyz), dtype=torch.float32, device=device)
+    nrm = torch.as_tensor(np.asarray(normals), dtype=torch.float32,
+                          device=device)
+    field = Reconstructor(device).reconstruct(
+        pts, nrm, voxel_size=voxel_size, detail_level=detail_level
+    )
+    mesh = field.extract_dual_mesh(mise_iter=2)
+    return mesh.v.cpu().numpy(), mesh.f.cpu().numpy()
+
+
+def mesh_pymeshlab_poisson(pcd_path: str, depth: int = 8):
+    """Screened-Poisson meshing via the external ``pymeshlab`` package
+    (reference gaustudio/scripts/extract_pcd.py:79-101). Takes the fused
+    ply path (pymeshlab loads from disk); returns (verts, faces)."""
+    try:
+        import pymeshlab
+    except ImportError as e:
+        raise ImportError("Please install pymeshlab to use this feature.") from e
+    ms = pymeshlab.MeshSet()
+    ms.load_new_mesh(pcd_path)
+    ms.apply_filter("generate_surface_reconstruction_screened_poisson",
+                    depth=depth)
+    mesh = ms.current_mesh()
+    return mesh.vertex_matrix(), mesh.face_matrix()
+
+
+def mesh_poisson(xyz, colors, normals, depth: int = 8,
+                 density_threshold: float = 0.01):
+    """Poisson meshing via the external ``open3d`` package, with
+    low-density vertex pruning (reference extract_pcd.py:68-77)."""
+    try:
+        import open3d as o3d
+    except ImportError as e:
+        raise ImportError("Please install open3d to use this feature.") from e
+    pcd = o3d.geometry.PointCloud()
+    pcd.points = o3d.utility.Vector3dVector(np.asarray(xyz, np.float64))
+    pcd.colors = o3d.utility.Vector3dVector(np.asarray(colors, np.float64))
+    pcd.normals = o3d.utility.Vector3dVector(np.asarray(normals, np.float64))
+    mesh, densities = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
+        pcd, depth=depth, width=0, scale=1.2, linear_fit=False
+    )
+    densities = np.asarray(densities)
+    densities = (densities - densities.min()) / (
+        densities.max() - densities.min() + 1e-12
+    )
+    mesh.remove_vertices_by_mask(densities < np.quantile(densities,
+                                                         density_threshold))
+    return np.asarray(mesh.vertices), np.asarray(mesh.triangles)

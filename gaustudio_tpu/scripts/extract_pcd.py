@@ -22,8 +22,13 @@ def main():
     parser.add_argument("--load_iteration", default=-1, type=int)
     parser.add_argument("--resolution", default=1, type=int)
     parser.add_argument("--sh", default=0, type=int)
-    parser.add_argument("--meshing", choices=["sap", "poisson", "None", None],
-                        default="sap")
+    parser.add_argument(
+        "--meshing",
+        choices=["sap", "nksr", "poisson", "pymeshlab", "None", None],
+        default="sap",
+        help="sap: native DPSR; nksr/poisson/pymeshlab: external backends "
+             "(reference extract_pcd.py:53-106)",
+    )
     args, extras = parser.parse_known_args()
 
     from gaustudio_tpu import models, renderers
@@ -76,8 +81,15 @@ def main():
     print(f"Point cloud cleaned. Remaining points: {len(xyz)}")
     store_ply(output_pcd_path, xyz, (colors * 255).astype(np.uint8), normals)
 
-    if args.meshing in ("sap", "poisson"):
-        verts, faces = P.mesh_sap(xyz, normals)
+    if args.meshing not in ("None", None):
+        if args.meshing == "sap":
+            verts, faces = P.mesh_sap(xyz, normals)
+        elif args.meshing == "nksr":
+            verts, faces = P.mesh_nksr(xyz, normals)
+        elif args.meshing == "poisson":
+            verts, faces = P.mesh_poisson(xyz, colors, normals)
+        elif args.meshing == "pymeshlab":
+            verts, faces = P.mesh_pymeshlab_poisson(output_pcd_path)
         save_mesh(os.path.join(work_dir, "fused_mesh.ply"), verts, faces)
         print(f"Mesh saved to {os.path.join(work_dir, 'fused_mesh.ply')}")
 

@@ -1,5 +1,6 @@
 """Initializer registry tests."""
 
+import os
 import numpy as np
 import pytest
 
@@ -100,10 +101,18 @@ def test_visual_hull_initializer():
     assert r.max() < 2.0
 
 
-def test_external_stub_raises():
-    init = initializers.make({"name": "dust3r"})
+def test_dust3r_external_model_gated(tmp_path):
+    """Without mini_dust3r installed, the initializer preprocesses views
+    natively then raises ImportError at the delegated inference step."""
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=3,
+                                            image_size=32, fov_deg=50)
+    for c in cams:
+        c.image = np.zeros((c.image_height, c.image_width, 3), np.float32)
+    init = initializers.make({"name": "dust3r",
+                              "workspace_dir": str(tmp_path / "ws")})
     with pytest.raises(ImportError):
-        init(models.make({"name": "vanilla_pcd"}))
+        init(models.make({"name": "vanilla_pcd"}), cams)
+    assert len(init._views) == 3  # native preprocessing ran first
 
 
 def test_pairs_from_poses_orbit(tmp_path):
@@ -168,3 +177,76 @@ def test_hloc_initializer_writes_pairs(tmp_path):
         init.process_dataset()
     pairs_file = tmp_path / "ws" / "pairs-sfm.txt"
     assert pairs_file.exists() and len(pairs_file.read_text().splitlines()) >= 3
+
+
+def test_dust3r_prepare_view_crop_resize16():
+    """prepare_view: crop about the principal point, resize to multiples
+    of 16, intrinsics adjusted consistently (reference dust3r.py:89-168)."""
+    from gaustudio_tpu.pipelines.initializers.dust3r import prepare_view
+
+    H, W = 100, 160
+    img = np.random.default_rng(0).uniform(size=(H, W, 3)).astype(np.float32)
+    K = np.array([[120.0, 0, 70.0], [0, 118.0, 46.0], [0, 0, 1.0]])
+    out_img, out_mask, K2 = prepare_view(img, K, mask=None, image_size=512)
+    h2, w2 = out_img.shape[:2]
+    assert h2 % 16 == 0 and w2 % 16 == 0
+    assert out_img.dtype == np.uint8 and out_mask is None
+    # principal point is centered after the symmetric crop + scale
+    np.testing.assert_allclose(K2[0, 2] / w2, 0.5, atol=0.02)
+    np.testing.assert_allclose(K2[1, 2] / h2, 0.5, atol=0.02)
+    # square results get shrunk on one axis
+    sq_img = np.zeros((64, 64, 3), np.float32)
+    Ks = np.array([[60.0, 0, 32.0], [0, 60.0, 32.0], [0, 0, 1.0]])
+    s_img, _, _ = prepare_view(sq_img, Ks, image_size=512)
+    assert s_img.shape[0] != s_img.shape[1]
+
+
+def test_dust3r_select_and_fuse():
+    from gaustudio_tpu.pipelines.initializers import dust3r as D
+
+    assert D.select_view_indices(10, 20) == list(range(10))
+    idx = D.select_view_indices(100, 20)
+    assert len(idx) == 20 and idx[1] - idx[0] == 5
+
+    pts = [np.ones((4, 4, 3), np.float32) * i for i in range(3)]
+    cols = [np.full((4, 4, 3), 0.5, np.float32)] * 3
+    masks = [np.ones((4, 4), bool), np.zeros((4, 4), bool),
+             np.ones((4, 4), bool)]
+    xyz, rgb = D.fuse_point_clouds(pts, cols, masks)
+    assert xyz.shape == (32, 3) and rgb.shape == (32, 3)  # view 1 skipped
+    assert set(np.unique(xyz)) == {0.0, 2.0}
+    # downsampling cap
+    xyz2, _ = D.fuse_point_clouds(pts, cols, masks, max_points=10)
+    assert len(xyz2) <= 16
+
+
+def test_dust3r_initializer_mocked_model(tmp_path):
+    """Full protocol with the external model mocked: cache (crop/resize),
+    'inference', fusion to fused.ply, PcdInitializer build."""
+    from gaustudio_tpu import models
+    from gaustudio_tpu.pipelines.initializers.dust3r import Dust3rInitializer
+
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=5,
+                                            image_size=64, fov_deg=50)
+    for c in cams:
+        c.image = np.random.default_rng(1).uniform(
+            size=(c.image_height, c.image_width, 3)).astype(np.float32)
+
+    def fake_run(views, poses, intrinsics):
+        assert len(views) == 5 and len(poses) == 5
+        for v, K in zip(views, intrinsics):
+            h, w = v["img_u8"].shape[:2]
+            assert h % 16 == 0 and w % 16 == 0
+            assert K.shape == (3, 3)
+        rng = np.random.default_rng(2)
+        pts = [rng.normal(size=v["img_u8"].shape).astype(np.float32)
+               for v in views]
+        masks = [np.ones(v["img_u8"].shape[:2], bool) for v in views]
+        return pts, masks
+
+    init = Dust3rInitializer({"workspace_dir": str(tmp_path / "ws")},
+                             run_dust3r=fake_run)
+    pcd = models.make({"name": "vanilla_pcd"})
+    pcd = init(pcd, cams)
+    assert os.path.exists(init.model_path)
+    assert pcd._xyz.shape[0] > 100

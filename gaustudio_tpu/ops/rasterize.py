@@ -171,6 +171,38 @@ def rasterize(
     final_T = to_img(out.final_T)
     n_contrib = to_img(out.n_contrib)
 
+    if settings.debug:
+        # Reference parity: debug=True dumps the kernel arguments for
+        # offline repro when something goes wrong
+        # (gaustudio_diff_gaussian_rasterization/__init__.py:83-90). The
+        # TPU analogue: a host callback that snapshots inputs+outputs to
+        # ``snapshot_fw.dump`` whenever any of them is non-finite.
+        from gaustudio_tpu.utils import observability
+
+        def _debug_snapshot(tree):
+            import os as _os
+
+            observability.snapshot_on_nonfinite(
+                tree,
+                _os.environ.get("GS_DEBUG_SNAPSHOT", "snapshot_fw.dump"),
+                context="rasterize forward (debug=True)",
+            )
+
+        jax.debug.callback(
+            _debug_snapshot,
+            {
+                "inputs": {
+                    "means3D": means3D, "opacities": opac, "shs": shs,
+                    "colors_precomp": colors_precomp, "scales": scales,
+                    "rotations": rotations, "cov3D_precomp": cov3D_precomp,
+                    "viewmatrix": settings.viewmatrix,
+                    "projmatrix": settings.projmatrix,
+                },
+                "outputs": {"render": render, "depth": depth,
+                            "final_T": final_T},
+            },
+        )
+
     return {
         "render": render,
         "rendered_depth": depth,

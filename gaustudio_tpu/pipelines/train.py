@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaustudio_tpu.ops import binning
 from gaustudio_tpu.ops import rasterize as rast
 from gaustudio_tpu.ops import ssim as ssim_ops
 from gaustudio_tpu.ops.rasterize import RasterizeSettings
@@ -520,6 +521,22 @@ class Trainer:
             if it % log_every == 0 or it == iters:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["iter"] = it
+                # entry-capacity watchdog: ``num_rendered`` is the TRUE
+                # intersection count (pre-truncation); entries beyond the
+                # static bucket are silently dropped, which corrupts grads.
+                # Surface the overflow and auto-grow the bucket (one
+                # recompile) before the next step.
+                nr = int(m.get("num_rendered", 0))
+                m["entry_overflow"] = max(0, nr - self.num_entries)
+                if nr > 0.9 * self.num_entries:
+                    new_cap = binning.bucket_capacity(
+                        int(nr * 1.25), minimum=self.num_entries
+                    )
+                    if new_cap > self.num_entries:
+                        print(f"[capacity] entries {nr} near/over bucket "
+                              f"{self.num_entries} -> {new_cap} (recompile)")
+                        self.num_entries = new_cap
+                        settings = self._settings(self.num_entries)
                 history.append(m)
                 if logger:
                     logger.log(it, **{k: v for k, v in m.items() if k != "iter"})

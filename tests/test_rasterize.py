@@ -355,3 +355,39 @@ def test_gradients_finite_with_degenerate_points():
     grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
     for name, g in zip(["xyz", "scales", "quats", "opac", "colors"], grads):
         assert np.isfinite(np.asarray(g)).all(), f"non-finite grad: {name}"
+
+
+def test_debug_flag_snapshots_nonfinite(tmp_path, monkeypatch):
+    """settings.debug=True dumps a repro snapshot when inputs/outputs go
+    non-finite (reference __init__.py:83-90 snapshot_fw.dump parity)."""
+    import os
+    import pickle
+
+    dump = tmp_path / "snapshot_fw.dump"
+    monkeypatch.setenv("GS_DEBUG_SNAPSHOT", str(dump))
+    s = _make_scene(n=32)
+    st = s["settings"]._replace(debug=True)
+    xyz = jnp.asarray(s["means"]).at[3, 0].set(jnp.nan)
+    out = rasterize.rasterize(
+        xyz, jnp.asarray(s["opac"]), st,
+        colors_precomp=jnp.asarray(s["colors"]),
+        scales=jnp.asarray(s["scales"]), rotations=jnp.asarray(s["quats"]),
+    )
+    jax.block_until_ready(out["render"])
+    jax.effects_barrier()
+    assert dump.exists()
+    with open(dump, "rb") as f:
+        snap = pickle.load(f)
+    assert any("means3D" in b for b in snap["bad_leaves"])
+
+    # finite scene -> no dump
+    dump2 = tmp_path / "clean.dump"
+    monkeypatch.setenv("GS_DEBUG_SNAPSHOT", str(dump2))
+    out = rasterize.rasterize(
+        jnp.asarray(s["means"]), jnp.asarray(s["opac"]), st,
+        colors_precomp=jnp.asarray(s["colors"]),
+        scales=jnp.asarray(s["scales"]), rotations=jnp.asarray(s["quats"]),
+    )
+    jax.block_until_ready(out["render"])
+    jax.effects_barrier()
+    assert not dump2.exists()

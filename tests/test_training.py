@@ -209,3 +209,28 @@ def test_prefetch_loader():
     got = [int(next(seq)[0]) for _ in range(7)]
     seq.close()
     assert got == [0, 1, 2, 3, 4, 0, 1]
+
+
+def test_entry_capacity_autogrow():
+    """When the true intersection count nears/exceeds the static entry
+    bucket, the trainer surfaces ``entry_overflow`` and grows the bucket
+    before the next step (silent truncation corrupts gradients)."""
+    gt_pcd, cams = _make_gt_scene(n=120, size=48)
+    pcd = models.make({"name": "vanilla_pcd"})
+    pcd.create_from_attribute(
+        xyz=np.asarray(gt_pcd._xyz),
+        rgb=np.full((gt_pcd.num_points, 3), 0.5, np.float32),
+    )
+    cfg = TrainConfig(iterations=4, densify_from_iter=1000,
+                      densify_until_iter=0)
+    trainer = Trainer(pcd, _ListDataset(cams), cfg, num_entries=4096,
+                      chunk=256)
+    cap0 = trainer.num_entries
+    history = trainer.train(iterations=4, log_every=1)
+    assert "entry_overflow" in history[0]
+    nr = history[0]["num_rendered"]
+    if nr > 0.9 * cap0:
+        assert trainer.num_entries > cap0
+    # re-run at the grown capacity: overflow gone
+    if history[0]["entry_overflow"] > 0:
+        assert history[-1]["entry_overflow"] == 0

@@ -432,8 +432,16 @@ def rasterize_surfels(
             # and parity-safe.
             from gaustudio_tpu.ops import binning_fast
 
-            pre_fast = pre_bin._replace(
-                conic=jnp.zeros((pre.mean2d.shape[0], 3), jnp.float32),
+            # fully stop-gradient the binning inputs: binning only routes
+            # entry ids; grads flow through composite_surfel's gathers.
+            # (Without this, jax.grad hits the Pallas expand kernel's
+            # missing JVP rule via the differentiable opacities/colors.)
+            pre_fast = jax.tree.map(
+                lambda x: jax.lax.stop_gradient(x)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                pre_bin._replace(
+                    conic=jnp.zeros((pre.mean2d.shape[0], 3), jnp.float32),
+                ),
             )
             bf = binning_fast.bin_gaussians_fast(
                 pre_fast, grid_x, grid_y, settings.num_entries

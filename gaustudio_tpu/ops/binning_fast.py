@@ -282,6 +282,92 @@ def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
     return out.reshape(nb_al, n_rows, BLOCK)
 
 
+# --- tile ranges: Pallas boundary scan over the sorted keys -----------------
+
+_TR_ROWS = 16  # 16 x 128 = 2048 sorted keys per DMA window
+
+
+def _ranges_kernel(tiles_hbm, out_ref, win, sems, *, n_chunks: int,
+                   num_tiles: int, k_total: int):
+    """tile_start[t] = #sorted keys < t, via a streaming boundary walk.
+
+    Because the keys are sorted, the walk advances the tile cursor only
+    through each chunk's [min, max] span, so total while-iterations are
+    ~num_tiles + n_chunks (telescoping) — ~1-2ms at 1080p vs ~6ms for
+    XLA searchsorted (the scatter/segment-sum alternatives are ~23ms)."""
+    hi = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    lo = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    bucket = hi * 128 + lo
+    win_bucket = bucket[:8]  # (8, 128) window view for the per-t write
+
+    def dma(c, slot):
+        return pltpu.make_async_copy(
+            tiles_hbm.at[pl.ds(c * _TR_ROWS, _TR_ROWS)],
+            win.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk_body(c, t_cur):
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, (c + 1) % 2).start()
+
+        dma(c, c % 2).wait()
+        t = win[c % 2]
+        t_last = jnp.minimum(jnp.max(t), num_tiles)
+        base = c * (_TR_ROWS * 128)
+
+        def w_body(tc):
+            # all prior chunks' keys are < tc (sorted); count only here.
+            # keepdims avoids a scalar round-trip; the write touches one
+            # provably-8-aligned sublane window, not the whole histogram.
+            cnt = base + jnp.sum((t < tc).astype(jnp.int32), keepdims=True)
+            r8 = (tc // 1024) * 8
+            w = out_ref[pl.ds(r8, 8), :]
+            out_ref[pl.ds(r8, 8), :] = jnp.where(
+                win_bucket + r8 * 128 == tc, cnt, w)
+            return tc + 1
+
+        return jax.lax.while_loop(lambda tc: tc <= t_last, w_body, t_cur)
+
+    t_cur = jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    # tail: only reachable when every key is a real tile (no cull/pad rows
+    # keyed num_tiles); every remaining bucket then starts at k_total
+    out_ref[...] = jnp.where(
+        (bucket >= t_cur) & (bucket <= num_tiles), k_total, out_ref[...]
+    )
+
+
+def tile_ranges(sort_tile, num_tiles: int):
+    """[T+1] int32 positions (== searchsorted(sort_tile, arange(T+1)))."""
+    K = sort_tile.shape[0]
+    rows = -(-K // 128)
+    rows_pad = -(-rows // _TR_ROWS) * _TR_ROWS
+    t2d = jnp.pad(
+        sort_tile.astype(jnp.int32), (0, rows_pad * 128 - K),
+        constant_values=num_tiles,
+    ).reshape(rows_pad, 128)
+    hi_dim = max(8, -(-(num_tiles + 1) // 128))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((hi_dim, 128), lambda p: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _TR_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_ranges_kernel, n_chunks=rows_pad // _TR_ROWS,
+                num_tiles=num_tiles, k_total=K),
+        out_shape=jax.ShapeDtypeStruct((hi_dim, 128), jnp.int32),
+        grid_spec=grid_spec,
+    )(t2d)
+    return out.reshape(-1)[: num_tiles + 1]
+
+
 _TILE = 16  # pixel tile edge (gaussian.TILE_X)
 
 
@@ -433,15 +519,10 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         axis=0,
     )  # [16, K]; row 12 = original slot index
 
-    # per-tile ranges via binary search on the sorted keys: 8k queries cost
-    # ~6ms vs ~23ms for either the random scatter `.at[tile].add(1)` or a
-    # sorted segment_sum (XLA-TPU ignores indices_are_sorted); an MXU
-    # one-hot histogram scan measures no better (5.7ms — the one-hot
-    # construction dominates), so the positions come from searchsorted,
-    # which also yields tile_start directly (no cumsum)
-    pos = jnp.searchsorted(
-        sort_tile, jnp.arange(num_tiles + 1, dtype=sort_tile.dtype)
-    ).astype(jnp.int32)
+    # per-tile ranges from the Pallas boundary scan over the sorted keys
+    # (~1-2ms; XLA searchsorted is ~6ms, scatter/segment-sum ~23ms, and the
+    # XLA-side MXU one-hot histogram materializes its one-hots to HBM)
+    pos = tile_ranges(sort_tile, num_tiles)
     tile_start = pos[:num_tiles]
     tile_count = pos[1:] - pos[:-1]
 

@@ -36,6 +36,44 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return verts, faces
 
 
+def sample_mesh_surface(vertices, faces, n_samples: int, seed: int = 0
+                        ) -> np.ndarray:
+    """Area-weighted uniform surface samples [n_samples, 3] (numpy)."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("degenerate mesh: zero total surface area")
+    rng = np.random.default_rng(seed)
+    fid = rng.choice(len(f), size=n_samples, p=areas / total)
+    r1 = np.sqrt(rng.uniform(size=(n_samples, 1)))
+    r2 = rng.uniform(size=(n_samples, 1))
+    pts = (a[fid] * (1 - r1) + b[fid] * (r1 * (1 - r2))
+           + c[fid] * (r1 * r2))
+    return pts.astype(np.float32)
+
+
+def mesh_f1_score(verts_a, faces_a, verts_b, faces_b, tau: float,
+                  n_samples: int = 20000, seed: int = 0) -> dict:
+    """Symmetric mesh F1 at threshold ``tau`` (the TnT / gaustudio metric:
+    precision = fraction of A-samples within tau of B, recall = fraction of
+    B-samples within tau of A, F1 = harmonic mean)."""
+    from scipy.spatial import cKDTree
+
+    sa = sample_mesh_surface(verts_a, faces_a, n_samples, seed)
+    sb = sample_mesh_surface(verts_b, faces_b, n_samples, seed + 1)
+    d_ab = cKDTree(sb).query(sa, k=1)[0]
+    d_ba = cKDTree(sa).query(sb, k=1)[0]
+    precision = float((d_ab < tau).mean())
+    recall = float((d_ba < tau).mean())
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "chamfer": float(d_ab.mean() + d_ba.mean()) / 2}
+
+
 class _UnionFind:
     def __init__(self, n):
         self.parent = np.arange(n)

@@ -43,8 +43,9 @@ def dataset():
 def pcd():
     from gaustudio_tpu import models
 
-    m = models.make({"name": "general_pcd"})
+    m = models.make({"name": "vanilla_pcd"})
     m.load(os.path.join(FIXTURE, "gaussians.ply"))
+    m.active_sh_degree = 0  # fixture was fitted at SH degree 0
     return m
 
 

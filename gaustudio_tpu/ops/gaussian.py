@@ -255,6 +255,7 @@ def preprocess(
     scale_modifier=1.0,
     means2d_offset=None,
     valid_mask=None,
+    antialias: bool = False,
 ) -> Preprocessed:
     """Full per-Gaussian preprocess; port of preprocessCUDA (forward.cu:156-256).
 
@@ -323,6 +324,14 @@ def preprocess(
     # cotangent through it is 0/0 = NaN (ceil's zero grad still routes
     # through sqrt) — the epsilon keeps the vjp exactly 0 there
     op_flat = jnp.reshape(opacities, (-1,))
+    if antialias:
+        # gsplat's rasterize_mode="antialiased" (the Mip-Splatting 2D
+        # compensation): scale opacity by sqrt(det(cov2d_raw)/det(cov2d))
+        # so the 0.3 low-pass dilation conserves splat mass instead of
+        # brightening small splats. det_inv is 0 for culled rows.
+        det_raw = ((cov2d[..., 0] - 0.3) * (cov2d[..., 2] - 0.3)
+                   - cov2d[..., 1] * cov2d[..., 1])
+        op_flat = op_flat * jnp.sqrt(jnp.maximum(det_raw, 0.0) * det_inv)
     r_support = jnp.sqrt(
         jnp.maximum(0.0, 2.0 * jnp.log(255.0 * jnp.maximum(op_flat, 1e-12)))
         + 1e-12
@@ -368,8 +377,7 @@ def preprocess(
         depths=depths,
         means2d=mean2d,
         conic=conic,
-        opacities=jnp.reshape(opacities, opacities.shape[:1]
-                              if opacities.ndim == 1 else (opacities.shape[0],)),
+        opacities=op_flat,
         colors=colors,
         radii=radii,
         rect_min=rect_min,

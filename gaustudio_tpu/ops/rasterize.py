@@ -48,6 +48,8 @@ class RasterizeSettings(NamedTuple):
     num_entries: int = 1 << 18  # static capacity of the intersection list
     chunk: int = 1024  # entries per compositing scan step
     backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # gsplat rasterize_mode="antialiased": 2D low-pass opacity compensation
+    antialias: bool = False
 
 
 def rasterize(
@@ -109,6 +111,7 @@ def rasterize(
         H,
         settings.tanfovx,
         settings.tanfovy,
+        antialias=settings.antialias,
         shs=shs,
         sh_degree=settings.sh_degree if active_sh_degree is None else active_sh_degree,
         colors_precomp=colors_precomp,
@@ -244,6 +247,7 @@ def suggest_num_entries(
         H,
         settings.tanfovx,
         settings.tanfovy,
+        antialias=settings.antialias,
         colors_precomp=jnp.zeros((means3D.shape[0], 3), means3D.dtype),
         scales=scales,
         rotations=rotations,

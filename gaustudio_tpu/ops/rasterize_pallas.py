@@ -112,17 +112,15 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             c, T = state[0], state[1]
             return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
 
-        def body(state):
-            c, T, r, gg, b, d, md, mw, mi, nc = state
-            # first block was prefetched into slot 2 + i%2 one tile ahead
-            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
-
-            @pl.when(c + 1 < n_blocks)
-            def _():
-                get_dma((c + 1) % 2, c + 1).start()
-
-            get_dma(slot, c).wait()
-            blk = scratch[slot].T  # (16, BLOCK) -> (BLOCK, 16), 4-vreg shuffle
+        def block_math(rows, c, slot, carry):
+            """Composite ``rows`` entries of block ``c`` (rows = BLOCK for
+            interior blocks; a tile's LAST block runs a narrower instance
+            when its valid count allows — the math is identical, on a
+            (rows, 256) workload, so half/quarter-empty boundary blocks
+            cost proportionally less VPU time)."""
+            T, r, gg, b, d, md, mw, mi, nc = carry
+            sub = subl[:rows]
+            blk = scratch[slot][:, :rows].T  # (16, rows) -> (rows, 16)
 
             mx = blk[:, 0:1]
             my = blk[:, 1:2]
@@ -137,12 +135,12 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             gid = blk[:, 10:11]
             vld = blk[:, 11:12]
 
-            dx = mx - px  # (BLOCK, 256): entries x pixels
+            dx = mx - px  # (rows, 256): entries x pixels
             dy = my - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-            pos = c * BLOCK + subl  # position within the (aligned) tile run
+            pos = c * BLOCK + sub  # position within the (aligned) tile run
             # realign zeroes padding rows (vld = 0), so no in_range test
             alpha = jnp.where(
                 (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5),
@@ -153,9 +151,9 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             # sublane-axis (entry-axis) inclusive prefix product
             cum = 1.0 - alpha
             sft = 1
-            while sft < BLOCK:
+            while sft < rows:
                 shifted = pltpu.roll(cum, sft, axis=0)
-                shifted = jnp.where(subl < sft, 1.0, shifted)
+                shifted = jnp.where(sub < sft, 1.0, shifted)
                 cum = cum * shifted
                 sft *= 2
 
@@ -185,7 +183,30 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             pos1 = (pos + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0, keepdims=True))
 
-            return (c + 1, T, r, gg, b, d, md, mw, mi, nc)
+            return (T, r, gg, b, d, md, mw, mi, nc)
+
+        def body(state):
+            c = state[0]
+            carry = state[1:]
+            # first block was prefetched into slot 2 + i%2 one tile ahead
+            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
+
+            @pl.when(c + 1 < n_blocks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
+
+            get_dma(slot, c).wait()
+
+            # rem <= BLOCK only ever holds for a tile's LAST block (realign
+            # gives every earlier block a full 256 valid entries)
+            rem = count - c * BLOCK
+            carry = jax.lax.cond(
+                rem <= BLOCK // 2,
+                lambda args: block_math(BLOCK // 2, c, slot, args),
+                lambda args: block_math(BLOCK, c, slot, args),
+                carry,
+            )
+            return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)
         c_fin, T, r, gg, b, d, md, mw, mi, nc = state

@@ -43,23 +43,23 @@ _ALPHA_MAX = 0.99
 _CT = 8  # dr dg db dD dO dMed final_T n_contrib
 
 
-def _suffix_incl_prod(x, subl):
+def _suffix_incl_prod(x, subl, rows=BLOCK):
     cum = x
     sft = 1
-    while sft < BLOCK:
-        shifted = pltpu.roll(cum, BLOCK - sft, axis=0)  # == roll by -sft
-        shifted = jnp.where(subl >= BLOCK - sft, 1.0, shifted)
+    while sft < rows:
+        shifted = pltpu.roll(cum, rows - sft, axis=0)  # == roll by -sft
+        shifted = jnp.where(subl >= rows - sft, 1.0, shifted)
         cum = cum * shifted
         sft *= 2
     return cum
 
 
-def _suffix_incl_sum(x, subl):
+def _suffix_incl_sum(x, subl, rows=BLOCK):
     cum = x
     sft = 1
-    while sft < BLOCK:
-        shifted = pltpu.roll(cum, BLOCK - sft, axis=0)  # == roll by -sft
-        shifted = jnp.where(subl >= BLOCK - sft, 0.0, shifted)
+    while sft < rows:
+        shifted = pltpu.roll(cum, rows - sft, axis=0)  # == roll by -sft
+        shifted = jnp.where(subl >= rows - sft, 0.0, shifted)
         cum = cum + shifted
         sft *= 2
     return cum
@@ -155,18 +155,14 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
         def cond(state):
             return state[0] < n_blocks
 
-        def body(state):
-            r, Tc, Sq = state
-            c = n_blocks - 1 - r
-            # last block was prefetched into slot 2 + i%2 one tile ahead
-            slot = jnp.where(r == 0, 2 + i % 2, r % 2)
-
-            @pl.when(r + 1 < n_blocks)
-            def _():
-                get_dma((r + 1) % 2, c - 1).start()
-
-            get_dma(slot, c).wait()
-            blk = scratch[slot].T  # (16, BLOCK) -> (BLOCK, 16)
+        def block_math(rows, row_base, c, slot, Tc, Sq):
+            """Backward-composite rows [row_base, row_base+rows) of block
+            ``c``; returns (T-before-slice carry, Sq carry, (16, BLOCK)
+            padded grad update). A tile's partial FIRST/LAST flat blocks
+            run narrower instances (valid entries confined to one half),
+            matching the forward kernel's boundary fast path."""
+            sub = subl[:rows]
+            blk = scratch[slot][:, row_base:row_base + rows].T  # (rows, 16)
 
             mx = blk[:, 0:1]
             my = blk[:, 1:2]
@@ -180,12 +176,12 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             dep = blk[:, 9:10]
             vld = blk[:, 11:12]
 
-            dx = mx - px  # (BLOCK, 256): entries x pixels
+            dx = mx - px  # (rows, 256): entries x pixels
             dy = my - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-            pos = (b0 + c) * BLOCK + subl - start
+            pos = (b0 + c) * BLOCK + row_base + sub - start
             in_range = (pos >= 0) & (pos < count)
             alpha = jnp.where(
                 (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5) | ~in_range,
@@ -196,14 +192,14 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
             one_m = 1.0 - alpha
             factor = jnp.where(contrib, one_m, 1.0)
-            revincl = _suffix_incl_prod(factor, subl)
+            revincl = _suffix_incl_prod(factor, sub, rows)
             Tb = Tc / revincl  # transmittance BEFORE each entry (test_T)
             w = jnp.where(contrib, alpha * Tb, 0.0)
 
             # pre-dotted payload: col.dC + dep.dD + dO per (entry, pixel)
             payload = col_r * dCr + col_g * dCg + col_b * dCb + dep * dD + dO
             q = w * payload
-            Sq_e = Sq + _suffix_incl_sum(q, subl) - q
+            Sq_e = Sq + _suffix_incl_sum(q, sub, rows) - q
 
             dL_dalpha = Tb * payload - Sq_e / one_m - Tf / one_m * bgdot
             dL_dalpha = jnp.where(contrib, dL_dalpha, 0.0)
@@ -225,17 +221,60 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             d_dep = jnp.sum(w * dD + jnp.where(cross, dMed, 0.0), axis=1,
                             keepdims=True)
 
+            upd = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_dep,
+                 jnp.zeros((rows, 6), jnp.float32)],
+                axis=1,
+            ).T  # (rows, 16) -> (16, rows)
+            # pad to a full-width (16, BLOCK) update so the RMW add below is
+            # branch-independent (out-of-slice lanes add zero)
+            pads = []
+            if row_base > 0:
+                pads.append(jnp.zeros((NUM_ATTRS, row_base), jnp.float32))
+            pads.append(upd)
+            if row_base + rows < BLOCK:
+                pads.append(jnp.zeros((NUM_ATTRS, BLOCK - row_base - rows),
+                                      jnp.float32))
+            upd_full = jnp.concatenate(pads, axis=1) if len(pads) > 1 else upd
+            return Tb[0:1, :], Sq + jnp.sum(q, axis=0, keepdims=True), upd_full
+
+        def body(state):
+            r, Tc, Sq = state
+            c = n_blocks - 1 - r
+            # last block was prefetched into slot 2 + i%2 one tile ahead
+            slot = jnp.where(r == 0, 2 + i % 2, r % 2)
+
+            @pl.when(r + 1 < n_blocks)
+            def _():
+                get_dma((r + 1) % 2, c - 1).start()
+
+            get_dma(slot, c).wait()
+
+            # a tile's partial first/last flat blocks: valid rows confined
+            # to one half run a (128, 256) instance of the math
+            start_off = start - b0 * BLOCK
+            end_off = start + count - (b0 + n_blocks - 1) * BLOCK
+            half = BLOCK // 2
+            use_lower = (c == n_blocks - 1) & (end_off <= half)
+            use_upper = (c == 0) & (start_off >= half)
+            Tc, Sq, upd = jax.lax.cond(
+                use_lower,
+                lambda a: block_math(half, 0, c, slot, *a),
+                lambda a: jax.lax.cond(
+                    use_upper,
+                    lambda b: block_math(half, half, c, slot, *b),
+                    lambda b: block_math(BLOCK, 0, c, slot, *b),
+                    a,
+                ),
+                (Tc, Sq),
+            )
+
             # accumulate into the per-entry gradient block. RMW is required
             # because boundary blocks are shared between adjacent tiles
             # (race-free: the grid and the per-tile loop run sequentially).
             # Reads are prefetched one block ahead and writes drain lazily:
             # W(r) is only waited before R(r+2) reuses its scratch slot, so
             # the DMAs overlap the compositing math instead of serializing.
-            upd = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_dep,
-                 jnp.zeros((BLOCK, 6), jnp.float32)],
-                axis=1,
-            ).T  # (BLOCK, 16) -> (16, BLOCK)
             grad_read(r).wait()
             gscr[r % 2] = gscr[r % 2] + upd
             grad_write(r).start()
@@ -250,10 +289,8 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
                 grad_read(r + 1).start()
 
-            # carries: transmittance before this block's first entry (subl 0
-            # of Tb) and the grown pre-dotted suffix sum
-            Tc = Tb[0:1, :]
-            Sq = Sq + jnp.sum(q, axis=0, keepdims=True)
+            # carries (computed in block_math): transmittance before this
+            # block's first valid entry and the grown pre-dotted suffix sum
             return (r + 1, Tc, Sq)
 
         jax.lax.while_loop(cond, body, init)

@@ -37,6 +37,7 @@ from gaustudio_tpu.ops.binning_fast import (
     expand_table,
     monotone_expand,
     realign_runs,
+    tile_ranges,
 )
 from gaustudio_tpu.ops.gaussian import NEAR_CULL_Z, TILE_PIXELS, TILE_X, TILE_Y
 
@@ -167,9 +168,9 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
         axis=0,
     )  # [24, K]
 
-    pos = jnp.searchsorted(
-        sort_tile, jnp.arange(num_tiles + 1, dtype=sort_tile.dtype)
-    ).astype(jnp.int32)
+    # Pallas boundary scan (binning_fast.tile_ranges): ~3ms vs ~6ms for
+    # XLA searchsorted at 1080p entry counts
+    pos = tile_ranges(sort_tile, num_tiles)
     tile_start = pos[:num_tiles]
     tile_count = pos[1:] - pos[:-1]
 
@@ -255,16 +256,13 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             c, T = state[0], state[1]
             return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
 
-        def body(state):
-            (c, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = state
-            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
-
-            @pl.when(c + 1 < n_blocks)
-            def _():
-                get_dma((c + 1) % 2, c + 1).start()
-
-            get_dma(slot, c).wait()
-            blk = scratch[slot].T  # (24, BLOCK) -> (BLOCK, 24)
+        def block_math(rows, c, slot, carry):
+            # boundary fast path twin of rasterize_pallas._composite_kernel:
+            # a tile's LAST block runs a (rows=128, 256) instance when its
+            # valid count allows, halving the VPU work of half-empty blocks
+            (T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = carry
+            sub = subl[:rows]
+            blk = scratch[slot][:, :rows].T  # (24, rows) -> (rows, 24)
 
             mx = [blk[:, k:k + 1] for k in range(3)]  # Mx coefficients
             my = [blk[:, 3 + k:4 + k] for k in range(3)]
@@ -314,9 +312,9 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             # entry-axis inclusive prefix product of (1 - alpha)
             cum = 1.0 - alpha
             sft = 1
-            while sft < BLOCK:
+            while sft < rows:
                 shifted = pltpu.roll(cum, sft, axis=0)
-                shifted = jnp.where(subl < sft, 1.0, shifted)
+                shifted = jnp.where(sub < sft, 1.0, shifted)
                 cum = cum * shifted
                 sft *= 2
 
@@ -354,10 +352,30 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
             )
 
-            pos1 = (c * BLOCK + subl + 1).astype(jnp.float32)
+            pos1 = (c * BLOCK + sub + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
                                          keepdims=True))
-            return (c + 1, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
+            return (T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
+
+        def body(state):
+            c = state[0]
+            carry = state[1:]
+            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
+
+            @pl.when(c + 1 < n_blocks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
+
+            get_dma(slot, c).wait()
+
+            rem = count_ref[t] - c * BLOCK  # only the last block is partial
+            carry = jax.lax.cond(
+                rem <= BLOCK // 2,
+                lambda a: block_math(BLOCK // 2, c, slot, a),
+                lambda a: block_math(BLOCK, c, slot, a),
+                carry,
+            )
+            return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)
         c_fin, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc = state

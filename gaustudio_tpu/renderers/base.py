@@ -51,6 +51,7 @@ class BaseRenderer:
             debug=self.config.get("debug", False),
             num_entries=num_entries,
             chunk=int(self.config.get("chunk", 1024)),
+            antialias=bool(self.config.get("antialias", False)),
         )
 
     def _capacity(self, camera, xyz, opacity, scales, rotations, cov3d,

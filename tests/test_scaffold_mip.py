@@ -62,3 +62,38 @@ def test_mip_filter_and_render():
     r = renderers.make({"name": "mip_renderer"})
     out = r.render(cam, pcd)
     assert np.isfinite(np.asarray(out["render"])).all()
+
+
+def test_gsplat_antialiased_renderer():
+    """gsplat backend = antialiased mode: the 0.3-px low-pass compensation
+    dims sub-pixel splats (ref gsplat project_gaussians' compensation
+    output, gaustudio/renderers/gsplat_renderer.py:46-60) while leaving
+    large splats nearly untouched, and an alpha map is returned."""
+    rng = np.random.default_rng(2)
+    n = 80
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    rgb = rng.uniform(0.3, 1.0, size=(n, 3)).astype(np.float32)
+
+    def build(scale):
+        pcd = models.make({"name": "vanilla_pcd"})
+        pcd.create_from_attribute(xyz=xyz, rgb=rgb)
+        pcd.active_sh_degree = 0
+        pcd._scale = np.full((n, 3), np.log(scale), np.float32)
+        return pcd
+
+    cam = _cam()
+    van = renderers.make({"name": "vanilla_renderer"})
+    gs = renderers.make({"name": "gsplat_renderer"})
+
+    tiny = build(2e-3)  # sub-pixel splats: compensation should bite hard
+    img_v = np.asarray(van.render(cam, tiny)["render"])
+    out_g = gs.render(cam, tiny)
+    img_g = np.asarray(out_g["render"])
+    assert np.isfinite(img_g).all()
+    assert "rendered_final_opacity" in out_g
+    assert img_g.sum() < 0.6 * img_v.sum()
+
+    big = build(0.3)  # many-pixel splats: compensation ~1
+    img_v = np.asarray(van.render(cam, big)["render"])
+    img_g = np.asarray(gs.render(cam, big)["render"])
+    assert np.abs(img_g - img_v).max() < 0.05

@@ -6,21 +6,21 @@ XLA-TPU's slow gather lowering: ~600ms searchsorted + ~300ms gathers at
 
   1. gaussians are argsorted by (invalid, depth) and compacted so every
      surviving gaussian owns >= 1 entry slot (depth-major expansion order);
-  2. the slot->gaussian map comes from a marker scatter + cumsum (no
-     searchsorted);
-  3. per-slot attributes are fetched by a *monotone run-expand* Pallas
-     kernel: because the map is non-decreasing and gap-free, each 256-slot
-     block touches a contiguous <=256-row window of the gaussian table,
-     which is DMA'd once and selected with an MXU one-hot matmul — no
-     random gather;
-  4. one stable (tile,) sort carries all 16 attribute columns as payload
+  2. per-256-slot-block window anchors come from a Pallas boundary scan
+     over ceil(starts/256) (no searchsorted, no K-sized scatter);
+  3. a *fused expand* Pallas kernel recovers the slot->gaussian map from
+     the starts row (owner one-hots are differences of adjacent step
+     functions), selects per-slot attributes with an MXU one-hot matmul
+     over each block's contiguous <=384-lane table window (no random
+     gather), computes each entry's tile id, and applies the exact
+     ellipse/tile cull — all in one pass over [16, K];
+  4. one stable (tile,) sort carries the attribute rows as payload
      operands (XLA variadic sort is bandwidth-efficient; random scatters are
      ~10x slower on TPU), yielding a contiguous (tile, depth)-ordered entry
-     stream reshaped to [num_blocks, 16, 256]; tile ranges are unaligned and
-     the compositor masks boundary lanes.
+     stream realigned to 256-aligned per-tile runs [NB_AL, 16, 256].
 
 Entry attribute rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
-6:r 7:g 8:b 9:depth 10:gaussian_id 11:valid 12-15:pad.
+6:r 7:g 8:b 9:depth 10:gaussian_id 11:valid 12:slot 13-15:pad.
 """
 
 from __future__ import annotations
@@ -87,8 +87,14 @@ def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems,
     """8 x 256-slot blocks: DMA the covered contiguous *lane* window of the
     transposed [rows, N] table once (a few useful rows instead of 128
     padded lanes — 5x less HBM traffic than the row-window layout), then
-    per block rotate the window so the block's gaussians sit at lane 0 and
-    select rows with an MXU one-hot matmul.
+    per block load a 128-aligned 384-lane sub-slice of the window straight
+    from VMEM and select rows with an MXU one-hot matmul over the 384
+    candidate lanes (the block's gaussians span < 256 + 128 alignment).
+
+    An earlier version rotated the FULL window per block with pltpu.roll —
+    a ~221KB cross-lane vreg shuffle x 8 blocks per program that dominated
+    the kernel; the aligned VMEM sub-slice makes the shuffle cost vanish
+    and folds the sub-128 misalignment into the (256, 384) one-hot.
 
     Windows are double-buffered ACROSS programs (program p prefetches
     p+1's window) — without this the kernel is bound by one serial DMA
@@ -125,19 +131,19 @@ def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems,
         dma.wait()
 
     base_blk = sb * _SUPER
-    lo_base = blk_lo_ref[base_blk]
-    aligned = (lo_base // 128) * 128
+    a128 = blk_lo_ref[base_blk] // 128  # window base / 128
 
-    w = win[slot]
     for b in range(_SUPER):
         lo_b = blk_lo_ref[base_blk + b]
-        off = lo_b - aligned  # in [0, _WIN - BLOCK]
-        # dynamic left-rotate by `off` == roll right by (_WIN - off) % _WIN
-        blk_cols = pltpu.roll(w, (_WIN - off) % _WIN, axis=1)[:, :BLOCK]
-        blk_t = blk_cols.T  # (24,256)->(256,24), a few-vreg shuffle
-        local = g_scr[slot, b, :] - lo_b
+        # 128-aligned 384-lane sub-window covering this block's gaussians
+        # (multiply-last so Mosaic can prove the lane offset is aligned;
+        # the min keeps the slice in bounds — never binding for real runs:
+        # max true offset is (7*256+127)//128*128 = 1792 <= _WIN - 384)
+        off_hi = jnp.minimum(lo_b // 128 - a128, (_WIN - 3 * 128) // 128) * 128
+        sl_t = win[slot, :, pl.ds(off_hi, 3 * 128)].T  # (rows,384)->(384,rows)
+        local = g_scr[slot, b, :] - (a128 + off_hi // 128) * 128  # in [0,384)
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 3 * 128), 1)
             == local[:, None]
         ).astype(jnp.float32)
         # precision=HIGHEST is load-bearing: TPU f32 matmuls default to
@@ -146,7 +152,7 @@ def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems,
         # to corrupt every tile coordinate downstream). The f32x3
         # decomposition reproduces one-hot selection exactly.
         sel = jax.lax.dot_general(
-            onehot, blk_t, (((1,), (0,)), ((), ())),
+            onehot, sl_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -200,6 +206,176 @@ def expand_table(rows, height: int = _EXP_ROWS):
     return table
 
 
+# --- fused expand: slotmap + attribute select + tile id + exact cull --------
+#
+# One Pallas pass replaces four XLA stages of the original pipeline
+# (marker scatter + second blocked cumsum for the slot->gaussian map;
+# per-slot j/tile integer math; the exact ellipse/tile cull), all of which
+# paid HBM round-trips over [K]-sized arrays (~10ms at 1080p). The
+# slot->gaussian map is recovered IN-KERNEL from the `starts` row: owner
+# one-hots are differences of adjacent step functions,
+#   onehot[q, j] = [starts_j <= s_q] - [starts_{j+1} <= s_q],
+# so the (256, 384) compare matrix needs no transposes and no cumsums, and
+# the same NT matmul that selects attributes also yields the owner index
+# (an iota table row selected like any other attribute).
+#
+# Table rows (built by bin_gaussians_fast): 0:mx 1:my 2-4:conic 5:opac
+# 6-8:rgb 9:depth 10:gid 11:valid 12:starts 13:x0 14:y0 15:rect_w
+# 16:iota(compact index). Output rows (attr-major [16, K]): 0-10 the sort
+# payload attrs, 11:valid(after cull) 12:g(compact owner) 13:tile 14-15 pad.
+
+_FE_ROWS = 16  # fused-expand output rows (vanilla layout)
+
+
+def _fused_expand_kernel(blk_lo_ref, meta_ref, data_hbm, out_ref, win, sems,
+                         *, grid_x: int, num_tiles: int, n_gauss: int,
+                         n_sel: int = 11, starts_row: int = 12,
+                         rect_rows: tuple = (13, 14, 15),
+                         valid_row: int = 11, iota_row: int = 16,
+                         out_rows: int = _FE_ROWS, cull: bool = True):
+    sb = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    def window_dma(p, slot):
+        aligned_p = (blk_lo_ref[p * _SUPER] // 128) * 128
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(aligned_p, _WIN)], win.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(sb == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(sb + 1 < nprog)
+    def _():
+        window_dma(sb + 1, (sb + 1) % 2).start()
+
+    slot = sb % 2
+    window_dma(sb, slot).wait()
+
+    base_blk = sb * _SUPER
+    a128 = blk_lo_ref[base_blk] // 128
+    total = meta_ref[0]
+
+    lane384 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * 128), 1)
+    lane256 = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    sub256 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+
+    for b in range(_SUPER):
+        lo_b = blk_lo_ref[base_blk + b]
+        off_hi = jnp.minimum(lo_b // 128 - a128, (_WIN - 3 * 128) // 128) * 128
+        sl = win[slot, :, pl.ds(off_hi, 3 * 128)]  # (rows, 384)
+        s0 = (a128 + off_hi // 128) * 128  # table index of slice lane 0
+        s_base = (sb * _SUPER + b) * BLOCK  # first slot of this block
+
+        # owner one-hot via step-function differences. Lane-padding rows
+        # (table index >= n_gauss) carry starts == 0 and must read as
+        # "never starts" -> +inf.
+        starts = jnp.where(
+            s0 + lane384 < n_gauss, sl[starts_row:starts_row + 1, :], 3.4e38
+        )
+        # starts_{j+1} at lane j (lane 383 wraps; it never owns a block
+        # slot — owners sit < s0+383 — so its one-hot must only read 0,
+        # which the `cmp` floor below guarantees)
+        starts_nxt = jnp.where(
+            lane384 == 3 * 128 - 1, 3.4e38,
+            pltpu.roll(starts, 3 * 128 - 1, axis=1),
+        )
+        # cmp[q, j] = [starts_j <= s_q]; slots on sublanes, table on lanes
+        base_f = jnp.float32(s_base)
+        cmp = (starts - base_f <= sub256).astype(jnp.float32)
+        nxt = (starts_nxt - base_f <= sub256).astype(jnp.float32)
+        onehot = cmp - jnp.minimum(cmp, nxt)
+        # NT matmul: contract both lane dims -> (rows, 256) selected attrs.
+        # HIGHEST is load-bearing (exact one-hot f32 selection; default MXU
+        # passes are bf16 and would corrupt starts/iota at 2^20 scale).
+        sel = jax.lax.dot_general(
+            sl, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # per-slot scalar math, lane-dense (1, 256) rows
+        s_row = (s_base + lane256).astype(jnp.float32)
+        starts_sel = sel[starts_row:starts_row + 1, :]
+        x0 = sel[rect_rows[0]:rect_rows[0] + 1, :]
+        y0 = sel[rect_rows[1]:rect_rows[1] + 1, :]
+        rw = jnp.maximum(sel[rect_rows[2]:rect_rows[2] + 1, :], 1.0)
+        j = s_row - starts_sel
+        # exact f32 division + integer correction (operands < 2^21)
+        q = jnp.floor(j / rw)
+        r = j - q * rw
+        q = q + (r >= rw).astype(jnp.float32) - (r < 0).astype(jnp.float32)
+        r = j - q * rw
+        tx = x0 + r
+        ty = y0 + q
+        tile = ty * jnp.float32(grid_x) + tx
+
+        valid = (sel[valid_row:valid_row + 1, :] > 0.5) & (
+            s_row < total.astype(jnp.float32)
+        )
+        if cull:
+            valid = valid & _tile_max_alpha_keep(
+                sel[0:1, :], sel[1:2, :], sel[2:3, :], sel[3:4, :],
+                sel[4:5, :], sel[5:6, :], tx, ty,
+            )
+        tile = jnp.where(valid, tile, jnp.float32(num_tiles))
+
+        out = jnp.concatenate(
+            [
+                sel[0:n_sel, :],
+                valid.astype(jnp.float32),
+                sel[iota_row:iota_row + 1, :],  # g: selected iota row
+                tile,
+                jnp.zeros((out_rows - n_sel - 3, BLOCK), jnp.float32),
+            ],
+            axis=0,
+        )
+        out_ref[:, pl.ds(b * BLOCK, BLOCK)] = out
+
+
+def fused_expand(table, block_lo, total, grid_x: int, num_tiles: int,
+                 n_gauss: int, num_slots: int, **layout):
+    """Fused slotmap/select/tile/cull pass -> [out_rows, K] attr-major
+    entries. ``layout`` overrides the vanilla table/output row indices
+    (see _fused_expand_kernel) — the surfel pipeline passes its own."""
+    K = num_slots
+    nb = K // BLOCK
+    rows = table.shape[0]
+    out_rows = layout.get("out_rows", _FE_ROWS)
+    assert nb % _SUPER == 0
+    assert rows % 8 == 0 and table.shape[1] % 128 == 0
+    meta = jnp.reshape(total.astype(jnp.int32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb // _SUPER,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (out_rows, _SUPER * BLOCK), lambda p, lo, m: (0, p)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, _WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_fused_expand_kernel, grid_x=grid_x, num_tiles=num_tiles,
+                n_gauss=n_gauss, **layout),
+        out_shape=jax.ShapeDtypeStruct((out_rows, K), jnp.float32),
+        grid_spec=grid_spec,
+    )(block_lo, meta, table)
+
+
+def block_lo_from_starts(starts, num_slots: int):
+    """Per-256-block window anchors block_lo[b] = owner of slot 256*b,
+    via the Pallas boundary scan over ceil(starts/256) (no K-sized
+    scatter/cumsum)."""
+    nb = num_slots // BLOCK
+    blk_key = (starts + BLOCK - 1) // BLOCK  # monotone int32
+    return jnp.maximum(tile_ranges(blk_key, nb)[1:] - 1, 0)
+
+
 
 
 # --- 256-aligned run realignment (Pallas) ------------------------------------
@@ -240,13 +416,19 @@ def _realign_kernel(srclo_ref, vcnt_ref, flat_hbm, out_ref, win, sems, *,
 
     window_dma(p, p % 2).wait()
 
-    lo0 = srclo_ref[p * _RA_SUPER]
-    al = jnp.minimum(lo0 // 128, (k_total - _RA_WIN) // 128) * 128
-    w = win[p % 2]
+    a128 = jnp.minimum(srclo_ref[p * _RA_SUPER] // 128,
+                       (k_total - _RA_WIN) // 128)
+    slot = p % 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, BLOCK), 1)
     for b in range(_RA_SUPER):
-        off = srclo_ref[p * _RA_SUPER + b] - al  # in [0, _RA_WIN - BLOCK]
-        blk = pltpu.roll(w, (_RA_WIN - off) % _RA_WIN, axis=1)[:, :BLOCK]
+        lo_b = srclo_ref[p * _RA_SUPER + b]
+        # 128-aligned 384-lane VMEM sub-slice + small roll for the sub-128
+        # offset — the old full-window pltpu.roll shuffled ~147KB per block
+        off_hi = jnp.minimum(lo_b // 128 - a128,
+                             (_RA_WIN - 3 * 128) // 128) * 128
+        sl = win[slot, :, pl.ds(off_hi, 3 * 128)]
+        off_lo = lo_b - (a128 + off_hi // 128) * 128
+        blk = pltpu.roll(sl, (3 * 128 - off_lo) % (3 * 128), axis=1)[:, :BLOCK]
         vcnt = vcnt_ref[p * _RA_SUPER + b]
         out_ref[0, b] = jnp.where(lane < vcnt, blk, 0.0)
 
@@ -371,21 +553,15 @@ def tile_ranges(sort_tile, num_tiles: int):
 _TILE = 16  # pixel tile edge (gaussian.TILE_X)
 
 
-def _tile_max_alpha_keep(expanded, tile, tx, ty, valid):
+def _tile_max_alpha_keep(mx, my, a, b, c, op, tx, ty):
     """True iff the entry's max alpha over its 16x16 tile can reach 1/255.
 
     Maximizes the (negated) quadratic power = -0.5 d^T Q d over the tile's
     pixel box by minimizing d^T Q d: the minimum is either 0 (mean inside
     the box) or attained on one of the four edges, where the 1-D quadratic
-    has a closed-form clamped vertex.
+    has a closed-form clamped vertex. Pure elementwise jnp math — runs
+    identically as an XLA stage or inside the fused expand Pallas kernel.
     """
-    mx = expanded[:, 0]
-    my = expanded[:, 1]
-    a = expanded[:, 2]
-    b = expanded[:, 3]
-    c = expanded[:, 4]
-    op = expanded[:, 5]
-
     x0 = tx.astype(jnp.float32) * _TILE
     x1 = x0 + _TILE - 1
     y0 = ty.astype(jnp.float32) * _TILE
@@ -423,7 +599,7 @@ def _tile_max_alpha_keep(expanded, tile, tx, ty, valid):
     # keep if alpha_max = op * exp(-0.5 * min_q) >= 1/255
     # i.e. min_q <= 2 * ln(255 * op); op <= 1/255 keeps nothing
     thresh = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0)
-    return valid & (min_q <= thresh) & (op * 255.0 >= 1.0)
+    return (min_q <= thresh) & (op * 255.0 >= 1.0)
 
 def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
                        num_entries: int) -> BinnedBlocks:
@@ -456,21 +632,26 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     tiles_c = sorted_g[12]
     valid_s = (inv_s == 0).astype(jnp.float32)
 
-    # 2. slot -> compact-gaussian map via marker scatter + cumsum
+    # 2. entry-slot geometry: exclusive cumsum of per-gaussian entry counts
+    # (blocked MXU cumsum: jnp.cumsum at 2.2M costs ~3.2ms on XLA-TPU, the
+    # two-level matmul scan ~0.3ms; exact in f32 for counts < 2^24), plus
+    # per-256-block window anchors block_lo[b] = (owner of slot 256*b) via
+    # the Pallas boundary scan over ceil(starts/256) — NO K-sized marker
+    # scatter or second cumsum; the full slot->gaussian map is recovered
+    # inside the fused expand kernel from the starts row itself.
     starts = _blocked_cumsum(tiles_c).astype(jnp.int32)  # exclusive
     total = starts[-1] + tiles_c[-1]
-    marker = jnp.zeros((K,), jnp.int32)
-    put = jnp.where((tiles_c > 0) & (starts < K), starts, K)
-    marker = marker.at[put].add(1, mode="drop")
-    # blocked MXU cumsum: jnp.cumsum at 2.2M costs ~3.2ms on XLA-TPU, the
-    # two-level matmul scan ~0.3ms (exact in f32: marker sums < 2^24)
-    g = _blocked_cumsum(marker).astype(jnp.int32) + marker - 1  # inclusive
-    g = jnp.maximum(g, 0)
-    slot_valid = jnp.arange(K) < jnp.minimum(total, K)
+    block_lo = block_lo_from_starts(starts, K)
 
-    # 3. per-slot attributes via the monotone Pallas expand over the
-    # attr-major table. Rows: 0:mx 1:my 2-4:conic 5:opac 6-8:rgb 9:depth
-    # 10:gid 11:valid 12:start 13:rect_min_x 14:rect_min_y 15:rect_w
+    # 3. fused expand: one Pallas pass selects per-slot attributes, computes
+    # the tile id of every (gaussian, tile) entry, and applies the exact
+    # ellipse/tile cull (entries whose max alpha anywhere in the tile is
+    # < 1/255 are skipped pixel-by-pixel by the compositor anyway —
+    # forward.cu:354 — so dropping them up-front leaves images
+    # bit-identical while shrinking per-tile work; the rect is a loose
+    # bbox of the 3-sigma *circle*). Table rows: 0:mx 1:my 2-4:conic
+    # 5:opac 6-8:rgb 9:depth 10:gid 11:valid 12:start 13:rect_min_x
+    # 14:rect_min_y 15:rect_w 16:iota.
     table = expand_table(
         [
             sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5], sorted_g[6],
@@ -478,27 +659,14 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
             dep_s, sorted_g[11], valid_s,
             starts.astype(jnp.float32),
             sorted_g[13], sorted_g[14], sorted_g[15],
+            jnp.arange(n, dtype=jnp.float32),
         ]
     )
-    block_lo = g[::BLOCK]
-    expanded = monotone_expand(table, g, block_lo)  # [K, 16]
-
+    expanded_t = fused_expand(table, block_lo, total, grid_x, num_tiles,
+                              n, K)  # [16, K] attr-major
+    tile = expanded_t[13].astype(jnp.int32)
+    g = expanded_t[12].astype(jnp.int32)
     slot = jnp.arange(K, dtype=jnp.int32)
-    j = slot - expanded[:, 12].astype(jnp.int32)  # ordinal within gaussian
-    rw = jnp.maximum(expanded[:, 15].astype(jnp.int32), 1)
-    tx = expanded[:, 13].astype(jnp.int32) + j % rw
-    ty = expanded[:, 14].astype(jnp.int32) + j // rw
-    tile = ty * grid_x + tx
-    slot_valid = slot_valid & (expanded[:, 11] > 0.5)
-
-    # exact per-entry ellipse/tile culling: drop (gaussian, tile) pairs whose
-    # maximum alpha anywhere in the tile is < 1/255 — such entries are
-    # skipped pixel-by-pixel by the compositor anyway (forward.cu:354), so
-    # removing them up-front leaves images bit-identical while shrinking the
-    # per-tile work (the rect is a loose bbox of the 3-sigma *circle*).
-    keep = _tile_max_alpha_keep(expanded, tile, tx, ty, slot_valid)
-    slot_valid = slot_valid & keep
-    tile = jnp.where(slot_valid, tile, num_tiles)
 
     # 4. one stable sort by tile carrying the 11 used attribute payloads
     # plus the pre-sort slot index (row 12; the backward reduction sorts
@@ -507,7 +675,7 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     # (~2ms/operand at 2M entries), so the valid flag (derivable from the
     # key: culled entries were keyed num_tiles) and the pad rows are
     # rebuilt after the sort.
-    cols = tuple(expanded[:, a] for a in range(11))
+    cols = tuple(expanded_t[a] for a in range(11))
     cols = cols + (slot.astype(jnp.float32),)
     sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
     sort_tile = sorted_ops[0]

@@ -427,16 +427,22 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
     slot = sb % 2
     for dma in input_dmas(sb, slot):
         dma.wait()
+    dma_r.wait()
 
-    # attr-major accumulator: [n_rows, _SEG_WIN] keeps every op lane-dense
-    acc = jnp.zeros((n_rows, _SEG_WIN), jnp.float32)
+    a128 = aligned // 128
     for b in range(_SEG_SUPER):
         lo_b = blk_lo_ref[base_blk + b]
-        off = lo_b - aligned
-        local = g_scr[slot, b, :] - lo_b  # [256] in [0, 256)
+        # accumulate into a 128-aligned 384-lane sub-window of the RMW
+        # scratch; the sub-128 misalignment folds into a (256, 384) one-hot
+        # (an earlier version built a window-wide accumulator and shifted
+        # each block's 256 columns into place with a full-window
+        # pltpu.roll — a ~147KB cross-lane shuffle per block)
+        off_hi = jnp.minimum(lo_b // 128 - a128,
+                             (_SEG_WIN - 3 * 128) // 128) * 128
+        local = g_scr[slot, b, :] - (a128 + off_hi // 128) * 128  # [0, 384)
         # onehot: [slot, gauss_window_col] — col r sums slots with local==r
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 3 * 128), 1)
             == local[:, None]
         ).astype(jnp.float32)
         gblk = gr_scr[slot, :, b * BLOCK:(b + 1) * BLOCK]  # [16, 256 slots]
@@ -444,16 +450,8 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
             gblk, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [16, 256 gaussians]
-        block_acc = jnp.concatenate(
-            [partial, jnp.zeros((n_rows, _SEG_WIN - BLOCK), jnp.float32)],
-            axis=1,
-        )
-        # shift to the gaussian offset within the window (dynamic lane roll)
-        acc = acc + pltpu.roll(block_acc, off % _SEG_WIN, axis=1)
-
-    dma_r.wait()
-    win[...] = win[...] + acc
+        )  # [16, 384 gaussian-window lanes]
+        win[:, pl.ds(off_hi, 3 * 128)] = win[:, pl.ds(off_hi, 3 * 128)] + partial
     wr = pltpu.make_async_copy(win, out_hbm.at[:, pl.ds(aligned, _SEG_WIN)],
                                rmw_sem)
     wr.start()

@@ -34,15 +34,17 @@ from gaustudio_tpu.ops.binning_fast import (
     BLOCK,
     _blocked_cumsum,
     aligned_capacity,
+    block_lo_from_starts,
     expand_table,
-    monotone_expand,
+    fused_expand,
     realign_runs,
     tile_ranges,
 )
 from gaustudio_tpu.ops.gaussian import NEAR_CULL_Z, TILE_PIXELS, TILE_X, TILE_Y
 
 S_ATTRS = 24  # entry rows (multiple of 8)
-_TBL_ROWS = 32  # expand-table height: 25 used rows, sublane-padded
+_TBL_ROWS = 32  # expand-table height: 28 used rows, sublane-padded
+_FEXP_ROWS = 32  # fused-expand output rows: 25 used (22 attrs+valid+g+tile)
 _TERM_EPS = 1e-4
 _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.99
@@ -101,17 +103,18 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
     sorted_g = list(s1) + list(s2[2:])
     tiles_c = sorted_g[24]  # sorted tiles_touched (i32)
 
-    # 2. slot -> compact-gaussian map (marker scatter + MXU cumsum)
+    # 2. slot geometry: exclusive entry-count cumsum + per-256-block window
+    # anchors (Pallas boundary scan — no K-sized marker scatter; the full
+    # slot->gaussian map is recovered inside the fused expand kernel)
     starts = _blocked_cumsum(tiles_c).astype(jnp.int32)
     total = starts[-1] + tiles_c[-1]
-    marker = jnp.zeros((K,), jnp.int32)
-    put = jnp.where((tiles_c > 0) & (starts < K), starts, K)
-    marker = marker.at[put].add(1, mode="drop")
-    g = (_blocked_cumsum(marker).astype(jnp.int32) + marker - 1)
-    g = jnp.maximum(g, 0)
-    slot_valid = jnp.arange(K) < jnp.minimum(total, K)
+    block_lo = block_lo_from_starts(starts, K)
 
-    # 3. monotone run-expand: 27-row table -> [K, 27]
+    # 3+4. fused expand: one Pallas pass selects per-slot attributes and
+    # computes each entry's tile id (row-major rect walk); no exact-alpha
+    # cull for surfels (the intersection support is not an ellipse in
+    # pixel space). Table rows: 0-20 attrs (19-20 mean2d), 21 gid,
+    # 22 valid, 23 starts, 24 x0, 25 y0, 26 rw, 27 iota.
     valid_s = (sorted_g[0] == 0).astype(jnp.float32)
     table = expand_table(
         [sorted_g[2 + i] for i in range(21)]  # attr rows 0-20 (+mean2d 19-20)
@@ -122,35 +125,31 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
             sorted_g[25],  # 24: x0
             sorted_g[26],  # 25: y0
             sorted_g[27],  # 26: rw
+            jnp.arange(n, dtype=jnp.float32),  # 27: iota
         ],
         height=_TBL_ROWS,
     )
-    block_lo = g[::BLOCK]
-    expanded = monotone_expand(table, g, block_lo, out_f=27)
-    # expanded cols: 0-18 kernel attrs, 19-20 mean2d, 21 gid, 22 valid,
-    # 23 starts, 24 x0, 25 y0, 26 rw
-
-    # 4. per-entry tile id (row-major rect walk); no exact-alpha cull for
-    # surfels (the intersection support is not an ellipse in pixel space)
+    expanded_t = fused_expand(
+        table, block_lo, total, grid_x, num_tiles, n, K,
+        n_sel=22, starts_row=23, rect_rows=(24, 25, 26), valid_row=22,
+        iota_row=27, out_rows=_FEXP_ROWS, cull=False,
+    )
+    # expanded_t rows: 0-18 kernel attrs, 19-20 mean2d, 21 gid, 22 valid,
+    # 23 g (compact owner), 24 tile
     slot = jnp.arange(K, dtype=jnp.int32)
-    j = slot - expanded[:, 23].astype(jnp.int32)
-    rw = jnp.maximum(expanded[:, 26].astype(jnp.int32), 1)
-    tx = expanded[:, 24].astype(jnp.int32) + j % rw
-    ty = expanded[:, 25].astype(jnp.int32) + j // rw
-    tile = ty * grid_x + tx
-    slot_ok = slot_valid & (expanded[:, 22] > 0.5)
-    tile = jnp.where(slot_ok, tile, num_tiles)
+    g = expanded_t[23].astype(jnp.int32)
+    tile = expanded_t[24].astype(jnp.int32)
 
     # 5. stable tile sort carrying the 22 attr+gid columns through TWO
     # <=14-operand stable sorts with identical keys (see the compact-sort
     # note: variadic sort codegen blows past ~16 operands, and row gathers
     # at entry scale run at seconds on XLA-TPU)
     t1 = jax.lax.sort(
-        (tile,) + tuple(expanded[:, a] for a in range(10)),
+        (tile,) + tuple(expanded_t[a] for a in range(10)),
         num_keys=1, is_stable=True,
     )
     t2 = jax.lax.sort(
-        (tile,) + tuple(expanded[:, a] for a in range(10, 22))
+        (tile,) + tuple(expanded_t[a] for a in range(10, 22))
         + (slot.astype(jnp.float32),),
         num_keys=1, is_stable=True,
     )

@@ -128,21 +128,21 @@ def main():
     print(f"  compact sort (16 ops @ {n}): {ms:.2f} ms", flush=True)
 
     @jax.jit
-    def sub_slotmap(tiles_c):
+    def sub_slotgeom(tiles_c):
         starts = binning_fast._blocked_cumsum(tiles_c).astype(jnp.int32)
         total = starts[-1] + tiles_c[-1]
-        marker = jnp.zeros((K,), jnp.int32)
-        put = jnp.where((tiles_c > 0) & (starts < K), starts, K)
-        marker = marker.at[put].add(1, mode="drop")
-        g = jnp.cumsum(marker) - 1
-        g = jnp.maximum(g, 0)
-        return g, starts, total
+        nb = K // binning_fast.BLOCK
+        blk_key = (starts + binning_fast.BLOCK - 1) // binning_fast.BLOCK
+        block_lo = jnp.maximum(
+            binning_fast.tile_ranges(blk_key, nb)[1:] - 1, 0
+        )
+        return block_lo, starts, total
 
-    ms, (g, starts, total) = timeit(sub_slotmap, sorted_g[12])
-    print(f"  slotmap (cumsum+scatter+cumsum): {ms:.2f} ms", flush=True)
+    ms, (block_lo, starts, total) = timeit(sub_slotgeom, sorted_g[12])
+    print(f"  slot geometry (cumsum + block_lo scan): {ms:.2f} ms", flush=True)
 
     @jax.jit
-    def sub_expand(sorted_g, g, starts):
+    def sub_expand(sorted_g, block_lo, starts, total):
         dep_s = sorted_g[1]
         valid_s = (sorted_g[0] == 0).astype(jnp.float32)
         table = binning_fast.expand_table(
@@ -152,39 +152,25 @@ def main():
                 dep_s, sorted_g[11], valid_s,
                 starts.astype(jnp.float32),
                 sorted_g[13], sorted_g[14], sorted_g[15],
+                jnp.arange(n, dtype=jnp.float32),
             ]
         )
-        block_lo = g[::binning_fast.BLOCK]
-        return binning_fast.monotone_expand(table, g, block_lo)
+        return binning_fast.fused_expand(
+            table, block_lo, total, grid_x, grid_x * grid_y, n, K
+        )
 
-    ms, expanded = timeit(sub_expand, sorted_g, g, starts)
-    print(f"  expand kernel: {ms:.2f} ms", flush=True)
-
-    @jax.jit
-    def sub_cull(expanded, g, total):
-        slot = jnp.arange(K, dtype=jnp.int32)
-        j = slot - expanded[:, 12].astype(jnp.int32)
-        rw = jnp.maximum(expanded[:, 15].astype(jnp.int32), 1)
-        tx = expanded[:, 13].astype(jnp.int32) + j % rw
-        ty = expanded[:, 14].astype(jnp.int32) + j // rw
-        tile = ty * grid_x + tx
-        slot_valid = (jnp.arange(K) < jnp.minimum(total, K)) & (expanded[:, 11] > 0.5)
-        keep = binning_fast._tile_max_alpha_keep(expanded, tile, tx, ty, slot_valid)
-        slot_valid = slot_valid & keep
-        tile = jnp.where(slot_valid, tile, grid_x * grid_y)
-        return tile
-
-    ms, tile = timeit(sub_cull, expanded, g, total)
-    print(f"  tileid+cull: {ms:.2f} ms", flush=True)
+    ms, expanded_t = timeit(sub_expand, sorted_g, block_lo, starts, total)
+    print(f"  fused expand (select+tileid+cull): {ms:.2f} ms", flush=True)
 
     @jax.jit
-    def sub_sort(tile, expanded):
+    def sub_sort(expanded_t):
         slot = jnp.arange(K, dtype=jnp.int32)
-        cols = tuple(expanded[:, a] for a in range(11))
+        tile = expanded_t[13].astype(jnp.int32)
+        cols = tuple(expanded_t[a] for a in range(11))
         cols = cols + (slot.astype(jnp.float32),)
         return jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
 
-    ms, sorted_ops = timeit(sub_sort, tile, expanded)
+    ms, sorted_ops = timeit(sub_sort, expanded_t)
     print(f"  tile sort (13 ops @ {K}): {ms:.2f} ms", flush=True)
 
     @jax.jit

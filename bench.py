@@ -65,6 +65,9 @@ def main():
         viewmatrix=jnp.asarray(W2V.T), projmatrix=jnp.asarray((P @ W2V).T),
         campos=jnp.zeros(3, jnp.float32),
         num_entries=0, chunk=4096,
+        # forward-only render: drop the backward-only slot sort operand
+        # (median outputs stay on — the reference forward computes them too)
+        need_grads=False,
     )
 
     cap = rast.suggest_num_entries(

@@ -72,7 +72,7 @@ def _blocked_cumsum(x):
     return (inner + carry[:, None]).reshape(-1)[:n]
 
 
-# --- monotone run-expand gather (Pallas) ------------------------------------
+# --- fused run-expand gather (Pallas) ---------------------------------------
 
 _SUPER = 8  # slot-blocks handled per expand program (for tiling-legal specs)
 _EXP_F = 16  # attr rows in the expand table (and output columns)
@@ -80,120 +80,6 @@ _EXP_ROWS = 24  # sublane-padded table height
 # window lanes: 8 blocks x 256 max-distinct gaussians + 128 alignment slack,
 # rounded to a lane-tile multiple
 _WIN = _SUPER * BLOCK + 2 * 128
-
-
-def _expand_kernel(blk_lo_ref, g_hbm, data_hbm, out_ref, g_scr, win, sems,
-                   *, out_f: int = _EXP_F):
-    """8 x 256-slot blocks: DMA the covered contiguous *lane* window of the
-    transposed [rows, N] table once (a few useful rows instead of 128
-    padded lanes — 5x less HBM traffic than the row-window layout), then
-    per block load a 128-aligned 384-lane sub-slice of the window straight
-    from VMEM and select rows with an MXU one-hot matmul over the 384
-    candidate lanes (the block's gaussians span < 256 + 128 alignment).
-
-    An earlier version rotated the FULL window per block with pltpu.roll —
-    a ~221KB cross-lane vreg shuffle x 8 blocks per program that dominated
-    the kernel; the aligned VMEM sub-slice makes the shuffle cost vanish
-    and folds the sub-128 misalignment into the (256, 384) one-hot.
-
-    Windows are double-buffered ACROSS programs (program p prefetches
-    p+1's window) — without this the kernel is bound by one serial DMA
-    round-trip per program (~9 ms for the whole pass at 1080p)."""
-    sb = pl.program_id(0)
-    nprog = pl.num_programs(0)
-
-    def window_dmas(p, slot):
-        base = p * _SUPER
-        aligned_p = (blk_lo_ref[base] // 128) * 128  # 128-aligned lane slice
-        return (
-            pltpu.make_async_copy(
-                g_hbm.at[pl.ds(base, _SUPER), :], g_scr.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                data_hbm.at[:, pl.ds(aligned_p, _WIN)], win.at[slot],
-                sems.at[slot, 1],
-            ),
-        )
-
-    @pl.when(sb == 0)
-    def _():
-        for dma in window_dmas(0, 0):
-            dma.start()
-
-    @pl.when(sb + 1 < nprog)
-    def _():
-        for dma in window_dmas(sb + 1, (sb + 1) % 2):
-            dma.start()
-
-    slot = sb % 2
-    for dma in window_dmas(sb, slot):
-        dma.wait()
-
-    base_blk = sb * _SUPER
-    a128 = blk_lo_ref[base_blk] // 128  # window base / 128
-
-    for b in range(_SUPER):
-        lo_b = blk_lo_ref[base_blk + b]
-        # 128-aligned 384-lane sub-window covering this block's gaussians
-        # (multiply-last so Mosaic can prove the lane offset is aligned;
-        # the min keeps the slice in bounds — never binding for real runs:
-        # max true offset is (7*256+127)//128*128 = 1792 <= _WIN - 384)
-        off_hi = jnp.minimum(lo_b // 128 - a128, (_WIN - 3 * 128) // 128) * 128
-        sl_t = win[slot, :, pl.ds(off_hi, 3 * 128)].T  # (rows,384)->(384,rows)
-        local = g_scr[slot, b, :] - (a128 + off_hi // 128) * 128  # in [0,384)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 3 * 128), 1)
-            == local[:, None]
-        ).astype(jnp.float32)
-        # precision=HIGHEST is load-bearing: TPU f32 matmuls default to
-        # bf16 MXU passes, which would quantize the selected values (the
-        # `starts` row reaches ~2^21, i.e. +-4096 error in bf16 — enough
-        # to corrupt every tile coordinate downstream). The f32x3
-        # decomposition reproduces one-hot selection exactly.
-        sel = jax.lax.dot_general(
-            onehot, sl_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[0, pl.ds(b * BLOCK, BLOCK), :] = sel[:, :out_f]
-
-
-def monotone_expand(table, g, block_lo, out_f: int = _EXP_F):
-    """table [rows, Npad] (attr-major, rows a multiple of 8), monotone
-    gap-free g [K] -> out [K, out_f].
-
-    ``block_lo[b] = g[b*BLOCK]``; requires g[b*BLOCK+255] - block_lo[b] <
-    BLOCK, guaranteed when every gaussian owns at least one slot. The
-    table must be lane-padded so that floor(max(block_lo)/128)*128 + _WIN
-    stays in bounds (``expand_table`` handles this).
-    """
-    K = g.shape[0]
-    nb = K // BLOCK
-    rows = table.shape[0]
-    assert nb % _SUPER == 0
-    assert rows % 8 == 0 and table.shape[1] % 128 == 0
-    assert out_f <= rows
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb // _SUPER,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, _SUPER * BLOCK, out_f), lambda b, lo: (b, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, _SUPER, BLOCK), jnp.int32),
-            pltpu.VMEM((2, rows, _WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    out = pl.pallas_call(
-        partial(_expand_kernel, out_f=out_f),
-        out_shape=jax.ShapeDtypeStruct((nb // _SUPER, _SUPER * BLOCK, out_f), jnp.float32),
-        grid_spec=grid_spec,
-    )(block_lo, g.reshape(nb, BLOCK), table)
-    return out.reshape(K, out_f)
 
 
 def expand_table(rows, height: int = _EXP_ROWS):
@@ -225,6 +111,44 @@ def expand_table(rows, height: int = _EXP_ROWS):
 # payload attrs, 11:valid(after cull) 12:g(compact owner) 13:tile 14-15 pad.
 
 _FE_ROWS = 16  # fused-expand output rows (vanilla layout)
+
+# One-hot select matmul mode. False: single f32 dot at Precision.HIGHEST
+# (6 bf16 MXU passes). True: decompose the data operand into 3 exact-sum
+# bf16 planes and issue 3 native bf16 dots — half the MXU passes; the
+# one-hot operand is exactly bf16-representable, and integer-valued rows
+# are re-rounded after the select (plane-sum residual < 2^-24·|x| < 0.5
+# for table indices < 2^24). Flip only with on-chip parity
+# (tools/tpu_parity_check.py) re-verified.
+SELECT_DOT3 = False
+
+
+def _onehot_select(sl, onehot, n_int_from: int | None = None):
+    """(rows, L) data × (256, L) one-hot -> (rows, 256) selected columns.
+
+    ``n_int_from``: first row holding integer-valued data (rounded back to
+    exact integers in dot3 mode); None = no integer rows.
+    """
+    if not SELECT_DOT3:
+        return jax.lax.dot_general(
+            sl, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    oh = onehot.astype(jnp.bfloat16)
+    hi = sl.astype(jnp.bfloat16)
+    r1 = sl - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda a: jax.lax.dot_general(
+        a, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sel = dot(hi) + dot(mid) + dot(lo)
+    if n_int_from is not None:
+        sel = jnp.concatenate(
+            [sel[:n_int_from], jnp.round(sel[n_int_from:])], axis=0
+        )
+    return sel
 
 
 def _fused_expand_kernel(blk_lo_ref, meta_ref, data_hbm, out_ref, win, sems,
@@ -288,13 +212,11 @@ def _fused_expand_kernel(blk_lo_ref, meta_ref, data_hbm, out_ref, win, sems,
         nxt = (starts_nxt - base_f <= sub256).astype(jnp.float32)
         onehot = cmp - jnp.minimum(cmp, nxt)
         # NT matmul: contract both lane dims -> (rows, 256) selected attrs.
-        # HIGHEST is load-bearing (exact one-hot f32 selection; default MXU
-        # passes are bf16 and would corrupt starts/iota at 2^20 scale).
-        sel = jax.lax.dot_general(
-            sl, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Exactness is load-bearing (default single-pass bf16 MXU would
+        # corrupt starts/iota at 2^20 scale): HIGHEST f32, or the 3-plane
+        # bf16 decomposition with integer rows re-rounded (gid onward —
+        # gid/valid/starts/x0/y0/rw/iota are all integer-valued).
+        sel = _onehot_select(sl, onehot, n_int_from=n_sel - 1)
 
         # per-slot scalar math, lane-dense (1, 256) rows
         s_row = (s_base + lane256).astype(jnp.float32)
@@ -602,7 +524,8 @@ def _tile_max_alpha_keep(mx, my, a, b, c, op, tx, ty):
     return (min_q <= thresh) & (op * 255.0 >= 1.0)
 
 def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
-                       num_entries: int) -> BinnedBlocks:
+                       num_entries: int, carry_gid: bool = True,
+                       carry_slot: bool = True) -> BinnedBlocks:
     """Build the block-aligned sorted entry layout (see module docstring)."""
     n = pre.depths.shape[0]
     num_tiles = grid_x * grid_y
@@ -675,15 +598,29 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     # (~2ms/operand at 2M entries), so the valid flag (derivable from the
     # key: culled entries were keyed num_tiles) and the pad rows are
     # rebuilt after the sort.
-    cols = tuple(expanded_t[a] for a in range(11))
-    cols = cols + (slot.astype(jnp.float32),)
+    # Sort cost on TPU is ~1.4ms/operand at 2M entries, so optional rows
+    # are dropped per-mode: gid (row 10) feeds only the median-id output
+    # (carry_gid=False when the caller skips median), slot (row 12) only
+    # the backward grad reduction (carry_slot=False on inference paths).
+    cols = tuple(expanded_t[a] for a in range(10))
+    if carry_gid:
+        cols = cols + (expanded_t[10],)
+    if carry_slot:
+        cols = cols + (slot.astype(jnp.float32),)
     sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
     sort_tile = sorted_ops[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
+    nxt = 11
+    if carry_gid:
+        gid_row = sorted_ops[nxt]
+        nxt += 1
+    else:
+        gid_row = zero_row
+    slot_row = sorted_ops[nxt] if carry_slot else zero_row
     flat_entries = jnp.stack(
-        list(sorted_ops[1:12])
-        + [valid_row, sorted_ops[12], zero_row, zero_row, zero_row],
+        list(sorted_ops[1:11])
+        + [gid_row, valid_row, slot_row, zero_row, zero_row, zero_row],
         axis=0,
     )  # [16, K]; row 12 = original slot index
 
@@ -734,7 +671,12 @@ def compat_arrays(binned: BinnedBlocks, grid_x: int, grid_y: int):
     (gid, tile, valid, tile_start) so the XLA reverse-walk backward can run
     against the Pallas forward's binning."""
     num_tiles = grid_x * grid_y
-    gid = binned.flat_entries[10].astype(jnp.int32)
     tile = binned.sorted_tile
     valid = (binned.flat_entries[11] > 0.5) & (tile < num_tiles)
+    # original gaussian id via slot -> compact owner -> original (row 10 is
+    # zeroed when the forward ran with carry_gid=False); this small-table
+    # double gather is CPU-fallback-only
+    slot = binned.flat_entries[12].astype(jnp.int32)
+    gid = binned.compact_gid[binned.slot_gauss[slot]]
+    gid = jnp.where(valid, gid, 0)
     return gid, tile, valid, binned.tile_start

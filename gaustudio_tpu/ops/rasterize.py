@@ -50,6 +50,12 @@ class RasterizeSettings(NamedTuple):
     backend: str = "auto"  # "auto" | "xla" | "pallas"
     # gsplat rasterize_mode="antialiased": 2D low-pass opacity compensation
     antialias: bool = False
+    # with_median=False skips the median-depth outputs (and the gid sort
+    # operand feeding median-id) — set by training, whose loss never reads
+    # them; need_grads=False drops the backward-only slot sort operand on
+    # pure inference paths (render scripts, benchmarks)
+    with_median: bool = True
+    need_grads: bool = True
 
 
 def rasterize(
@@ -138,10 +144,11 @@ def rasterize(
         from gaustudio_tpu.ops import binning_fast, rasterize_pallas
 
         binned_fast = binning_fast.bin_gaussians_fast(
-            pre_sg, grid_x, grid_y, settings.num_entries
+            pre_sg, grid_x, grid_y, settings.num_entries,
+            carry_gid=settings.with_median, carry_slot=settings.need_grads,
         )
         out = rasterize_pallas.composite_fast(
-            grid_x, grid_y, settings.chunk,
+            grid_x, grid_y, settings.chunk, settings.with_median,
             pre.means2d, pre.conic, pre.colors, pre.depths, pre.opacities,
             settings.bg, binned_fast,
         )

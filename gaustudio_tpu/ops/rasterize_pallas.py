@@ -47,7 +47,8 @@ NUM_OUT = 16
 
 
 def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
-                      *, grid_x: int, tiles_per_prog: int):
+                      *, grid_x: int, tiles_per_prog: int,
+                      with_median: bool = True):
     g = pl.program_id(0)
     # entries on sublanes: per-entry masks are (BLOCK, 1) columns
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
@@ -172,13 +173,17 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0, keepdims=True)
             )
 
-            cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
-            crossed = jnp.any(cross, axis=0, keepdims=True)
-            md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 0, keepdims=True), md)
-            mw = jnp.where(
-                crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0, keepdims=True), mw
-            )
-            mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi)
+            if with_median:
+                # median-depth trio (the 0.5-crossing entry): skipped when
+                # the caller doesn't consume it (training loss) — ~1/3 of
+                # the per-block reductions
+                cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
+                crossed = jnp.any(cross, axis=0, keepdims=True)
+                md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 0, keepdims=True), md)
+                mw = jnp.where(
+                    crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0, keepdims=True), mw
+                )
+                mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi)
 
             pos1 = (pos + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0, keepdims=True))
@@ -230,7 +235,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
-                     tiles_per_prog: int = 16):
+                     tiles_per_prog: int = 16, with_median: bool = True):
     """Run the tile compositor; returns packed [T, 16, 256] tile outputs
     (channel-major, pixels on lanes).
 
@@ -255,7 +260,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
         ],
     )
     kernel = partial(_composite_kernel, grid_x=grid_x,
-                     tiles_per_prog=tiles_per_prog)
+                     tiles_per_prog=tiles_per_prog, with_median=with_median)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
@@ -297,29 +302,31 @@ def rasterize_pallas_median_default():
     return _MEDIAN_DEFAULT
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def composite_fast(grid_x, grid_y, chunk, means2d, conic, colors, depths,
-                   opacities, bg, binned: BinnedBlocks):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def composite_fast(grid_x, grid_y, chunk, with_median, means2d, conic, colors,
+                   depths, opacities, bg, binned: BinnedBlocks):
     """Drop-in for rasterize_ref.composite with the Pallas forward.
 
     ``binned`` must have been built from the same (stop-gradiented)
     preprocess outputs; gradients flow to the explicit array args through
     the XLA reverse-walk backward (rasterize_ref._composite_bwd).
+    ``with_median=False`` skips the median-depth trio in-kernel (the
+    training loss never reads it); those outputs keep their defaults.
     """
-    packed = composite_pallas(binned, grid_x, grid_y)
+    packed = composite_pallas(binned, grid_x, grid_y, with_median=with_median)
     return _packed_to_tilemajor(packed, grid_x * grid_y)
 
 
-def _composite_fast_fwd(grid_x, grid_y, chunk, means2d, conic, colors, depths,
-                        opacities, bg, binned):
-    out = composite_fast(grid_x, grid_y, chunk, means2d, conic, colors,
-                         depths, opacities, bg, binned)
+def _composite_fast_fwd(grid_x, grid_y, chunk, with_median, means2d, conic,
+                        colors, depths, opacities, bg, binned):
+    out = composite_fast(grid_x, grid_y, chunk, with_median, means2d, conic,
+                         colors, depths, opacities, bg, binned)
     res = (means2d, conic, colors, depths, opacities, bg, binned,
            out.final_T, out.n_contrib)
     return out, res
 
 
-def _composite_fast_bwd(grid_x, grid_y, chunk, res, ct):
+def _composite_fast_bwd(grid_x, grid_y, chunk, with_median, res, ct):
     (means2d, conic, colors, depths, opacities, bg, binned,
      final_T, n_contrib) = res
 

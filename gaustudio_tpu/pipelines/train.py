@@ -445,6 +445,9 @@ class Trainer:
             sh_degree=self.cfg.max_sh_degree,
             num_entries=num_entries,
             chunk=self.chunk,
+            # the training loss never reads the median-depth outputs:
+            # skip the in-kernel median trio and its gid sort operand
+            with_median=False,
         )
 
     def _batch(self, camera) -> CameraBatch:

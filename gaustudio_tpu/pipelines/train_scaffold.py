@@ -500,6 +500,8 @@ class ScaffoldTrainer:
             tanfovx=math.tan(cam0.FoVx * 0.5),
             tanfovy=math.tan(cam0.FoVy * 0.5),
             bg=None, sh_degree=0, num_entries=num_entries, chunk=self.chunk,
+            # scaffold loss never reads the median-depth outputs
+            with_median=False,
         )
 
     def _batch(self, camera) -> CameraBatch:

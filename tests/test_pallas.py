@@ -109,3 +109,103 @@ def test_pallas_composite_matches_reference(preprocessed):
     got_nc = packed[:, :, 8].astype(np.int32)
     assert (got_nc <= ref_nc).all()
     np.testing.assert_array_equal(got_nc == 0, ref_nc == 0)
+
+
+def test_lean_modes_match_full(preprocessed):
+    """with_median=False / carry_slot=False keep color/depth/final_T
+    bit-identical to the full pipeline; median rows keep their defaults."""
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    with _interp():
+        full_bin = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+        full = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(b, gx, gy)
+        )(full_bin)
+        lean_bin = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(
+                p, gx, gy, 4096, carry_gid=False, carry_slot=False
+            )
+        )(pre)
+        lean = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(
+                b, gx, gy, with_median=False
+            )
+        )(lean_bin)
+
+    full_np, lean_np = np.asarray(full), np.asarray(lean)
+    # rows 0-3 color+depth, 7 final_T, 8 n_contrib: identical
+    np.testing.assert_array_equal(lean_np[:, 0:4], full_np[:, 0:4])
+    np.testing.assert_array_equal(lean_np[:, 7:9], full_np[:, 7:9])
+    # median rows stay at their init defaults
+    assert (lean_np[:, 4] == rasterize_pallas.rasterize_pallas_median_default()).all()
+    assert (lean_np[:, 5] == 0).all() and (lean_np[:, 6] == 0).all()
+    # the lean binning still yields identical entry geometry
+    np.testing.assert_array_equal(
+        np.asarray(lean_bin.tile_count), np.asarray(full_bin.tile_count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lean_bin.flat_entries)[0:10],
+        np.asarray(full_bin.flat_entries)[0:10],
+    )
+
+
+def test_train_mode_grads_match_full(preprocessed):
+    """with_median=False + carry_gid=False (the training config) leaves
+    gradients of a color-only loss unchanged."""
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+    bg = jnp.zeros(3)
+
+    def loss(colors, opac, with_median):
+        binned = binning_fast.bin_gaussians_fast(
+            jax.tree.map(jax.lax.stop_gradient, pre), gx, gy, 4096,
+            carry_gid=with_median,
+        )
+        out = rasterize_pallas.composite_fast(
+            gx, gy, 256, with_median, pre.means2d, pre.conic, colors,
+            pre.depths, opac, bg, binned,
+        )
+        return jnp.sum(out.color ** 2) + jnp.sum(out.final_T)
+
+    with _interp():
+        gf = jax.jit(jax.grad(lambda c, o: loss(c, o, True), argnums=(0, 1)))(
+            pre.colors, pre.opacities
+        )
+        gl = jax.jit(jax.grad(lambda c, o: loss(c, o, False), argnums=(0, 1)))(
+            pre.colors, pre.opacities
+        )
+    for a, b in zip(gf, gl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_dot3_select_matches_highest(preprocessed, monkeypatch):
+    """3-plane bf16 one-hot select: integer rows exact, float rows <=1ulp."""
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    with _interp():
+        ref = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+        monkeypatch.setattr(binning_fast, "SELECT_DOT3", True)
+        got = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.sorted_tile), np.asarray(ref.sorted_tile)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.tile_count), np.asarray(ref.tile_count)
+    )
+    ref_f, got_f = np.asarray(ref.flat_entries), np.asarray(got.flat_entries)
+    # integer rows (gid/valid/slot) bit-exact
+    np.testing.assert_array_equal(got_f[10:13], ref_f[10:13])
+    # float attr rows within ~1ulp of the HIGHEST select
+    np.testing.assert_allclose(got_f[0:10], ref_f[0:10], rtol=3e-7, atol=1e-30)

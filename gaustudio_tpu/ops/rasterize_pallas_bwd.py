@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaustudio_tpu.ops import binning_fast as BF
 from gaustudio_tpu.ops.binning_fast import BLOCK, NUM_ATTRS, BinnedBlocks
 from gaustudio_tpu.ops.gaussian import TILE_PIXELS, TILE_X, TILE_Y
 
@@ -446,11 +447,26 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
             == local[:, None]
         ).astype(jnp.float32)
         gblk = gr_scr[slot, :, b * BLOCK:(b + 1) * BLOCK]  # [16, 256 slots]
-        partial = jax.lax.dot_general(
-            gblk, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [16, 384 gaussian-window lanes]
+        if BF.SELECT_DOT3:
+            # 3-plane bf16 decomposition of the grads; the one-hot is
+            # bf16-exact — half the MXU passes of a HIGHEST f32 dot,
+            # residual < 2^-24 relative (see binning_fast._onehot_select)
+            oh_b = onehot.astype(jnp.bfloat16)
+            hi = gblk.astype(jnp.bfloat16)
+            r1 = gblk - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            dot3 = lambda a: jax.lax.dot_general(
+                a, oh_b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            partial = dot3(hi) + dot3(mid) + dot3(lo)
+        else:
+            partial = jax.lax.dot_general(
+                gblk, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [16, 384 gaussian-window lanes]
         win[:, pl.ds(off_hi, 3 * 128)] = win[:, pl.ds(off_hi, 3 * 128)] + partial
     wr = pltpu.make_async_copy(win, out_hbm.at[:, pl.ds(aligned, _SEG_WIN)],
                                rmw_sem)

@@ -93,3 +93,39 @@ def test_pallas_backward_matches_xla_reverse_walk():
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=2e-5,
                                    err_msg=name)
+
+
+def test_segreduce_dot3_matches_highest(monkeypatch):
+    """dot3-mode segment reduce == HIGHEST-mode within ~1ulp."""
+    s = _make_scene(n=60, seed=7, w=48, h=32)
+    st = s["settings"]
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+    pre = gaussian.preprocess(
+        jnp.asarray(s["means"]), jnp.asarray(s["opac"]),
+        st.viewmatrix, st.projmatrix, st.campos,
+        st.image_width, st.image_height, st.tanfovx, st.tanfovy,
+        colors_precomp=jnp.asarray(s["colors"]),
+        scales=jnp.asarray(s["scales"]), rotations=jnp.asarray(s["quats"]),
+    )
+    rng = np.random.default_rng(3)
+    with _interp():
+        binned = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+    K = binned.flat_entries.shape[1]
+    grads_flat = jnp.asarray(rng.normal(size=(16, K)).astype(np.float32))
+
+    with _interp():
+        ref = jax.jit(
+            lambda g, b: BW.reduce_entry_grads(g, b, pre.means2d.shape[0])
+        )(grads_flat, binned)
+        monkeypatch.setattr(binning_fast, "SELECT_DOT3", True)
+        got = jax.jit(
+            lambda g, b: BW.reduce_entry_grads(g, b, pre.means2d.shape[0])
+        )(grads_flat, binned)
+
+    for a, b in zip(got, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, rtol=1e-6, atol=3e-7)

@@ -119,7 +119,36 @@ _FE_ROWS = 16  # fused-expand output rows (vanilla layout)
 # are re-rounded after the select (plane-sum residual < 2^-24·|x| < 0.5
 # for table indices < 2^24). Flip only with on-chip parity
 # (tools/tpu_parity_check.py) re-verified.
-SELECT_DOT3 = False
+SELECT_DOT3 = __import__("os").environ.get("GS_SELECT_DOT3", "0") == "1"
+
+# Inference-path f16 payload packing (two sort operands fewer; ~2^-12
+# relative color rounding, invisible at 8-bit output). GS_PACK_F16=0
+# restores bit-exact payloads.
+PACK_F16 = __import__("os").environ.get("GS_PACK_F16", "1") == "1"
+
+
+def _pack2_f16(lo, hi):
+    """Pack two f32 rows into one int32 row as (hi<<16)|lo f16 bit pairs.
+
+    Used to halve sort payload operands on inference paths; the int32
+    carrier (rather than a bitcast f32) keeps arbitrary bit patterns safe
+    from any float canonicalization between sort stages.
+    """
+    lo16 = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    hi16 = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo16 | (hi16 << 16), jnp.int32)
+
+
+def _unpack2_f16(packed):
+    """Inverse of :func:`_pack2_f16` -> (lo_f32, hi_f32)."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16)
+    hi = jax.lax.bitcast_convert_type(
+        (u >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
 def _onehot_select(sl, onehot, n_int_from: int | None = None):
@@ -602,7 +631,21 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     # are dropped per-mode: gid (row 10) feeds only the median-id output
     # (carry_gid=False when the caller skips median), slot (row 12) only
     # the backward grad reduction (carry_slot=False on inference paths).
-    cols = tuple(expanded_t[a] for a in range(10))
+    # Inference additionally PACKS (r,g) and (b,opacity) as f16 pairs
+    # carried in single int32 payloads (2 fewer operands; unpacked XLA-side
+    # right after the sort). The ~2^-12 relative rounding only perturbs
+    # output color by < 2.5e-4 — inference-only because the grad-parity
+    # harness holds Pallas vs XLA backward to ~3e-6.
+    pack_f16 = PACK_F16 and not carry_slot
+    if pack_f16:
+        cols = tuple(expanded_t[a] for a in range(5)) + (
+            expanded_t[9],
+            _pack2_f16(expanded_t[6], expanded_t[7]),
+            _pack2_f16(expanded_t[8], expanded_t[5]),
+        )
+    else:
+        cols = tuple(expanded_t[a] for a in range(10))
+    n_attr_ops = len(cols)
     if carry_gid:
         cols = cols + (expanded_t[10],)
     if carry_slot:
@@ -611,7 +654,15 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     sort_tile = sorted_ops[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
-    nxt = 11
+    if pack_f16:
+        r_row, g_row = _unpack2_f16(sorted_ops[7])
+        b_row, op_row = _unpack2_f16(sorted_ops[8])
+        attr_rows = list(sorted_ops[1:6]) + [
+            op_row, r_row, g_row, b_row, sorted_ops[6],
+        ]
+    else:
+        attr_rows = list(sorted_ops[1:11])
+    nxt = 1 + n_attr_ops
     if carry_gid:
         gid_row = sorted_ops[nxt]
         nxt += 1
@@ -619,7 +670,7 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         gid_row = zero_row
     slot_row = sorted_ops[nxt] if carry_slot else zero_row
     flat_entries = jnp.stack(
-        list(sorted_ops[1:11])
+        attr_rows
         + [gid_row, valid_row, slot_row, zero_row, zero_row, zero_row],
         axis=0,
     )  # [16, K]; row 12 = original slot index

@@ -111,9 +111,11 @@ def test_pallas_composite_matches_reference(preprocessed):
     np.testing.assert_array_equal(got_nc == 0, ref_nc == 0)
 
 
-def test_lean_modes_match_full(preprocessed):
+def test_lean_modes_match_full(preprocessed, monkeypatch):
     """with_median=False / carry_slot=False keep color/depth/final_T
-    bit-identical to the full pipeline; median rows keep their defaults."""
+    bit-identical to the full pipeline (with f16 payload packing disabled);
+    median rows keep their defaults."""
+    monkeypatch.setattr(binning_fast, "PACK_F16", False)
     pre, st = preprocessed
     gx = (st.image_width + 15) // 16
     gy = (st.image_height + 15) // 16
@@ -150,6 +152,48 @@ def test_lean_modes_match_full(preprocessed):
     np.testing.assert_array_equal(
         np.asarray(lean_bin.flat_entries)[0:10],
         np.asarray(full_bin.flat_entries)[0:10],
+    )
+
+
+def test_pack_f16_inference_close(preprocessed, monkeypatch):
+    """With f16 payload packing ON (the inference default), color/depth
+    differ from the exact pipeline only by f16 rounding (~2^-12 relative —
+    far below the 1/255 8-bit output quantum)."""
+    monkeypatch.setattr(binning_fast, "PACK_F16", True)
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    with _interp():
+        full_bin = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+        full = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(b, gx, gy)
+        )(full_bin)
+        lean_bin = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(
+                p, gx, gy, 4096, carry_gid=False, carry_slot=False
+            )
+        )(pre)
+        lean = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(
+                b, gx, gy, with_median=False
+            )
+        )(lean_bin)
+
+    full_np, lean_np = np.asarray(full), np.asarray(lean)
+    # packing rounds opacity/rgb to f16: composited output stays within
+    # a few f16 ulps of the exact pipeline (< 1/255)
+    np.testing.assert_allclose(
+        lean_np[:, 0:4], full_np[:, 0:4], atol=2.5e-3, rtol=0
+    )
+    np.testing.assert_allclose(
+        lean_np[:, 7], full_np[:, 7], atol=2.5e-3, rtol=0
+    )
+    # entry geometry (tile runs) is unaffected by payload packing
+    np.testing.assert_array_equal(
+        np.asarray(lean_bin.tile_count), np.asarray(full_bin.tile_count)
     )
 
 

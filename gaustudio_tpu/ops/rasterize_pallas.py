@@ -45,6 +45,48 @@ _MEDIAN_DEFAULT = 15.0
 
 NUM_OUT = 16
 
+# MXU power-matmul mode. The per-(entry, pixel) quadratic power is a rank-6
+# bilinear form power = F(entry) @ G(pixel) with G = [qx^2, qy^2, qx*qy,
+# qx, qy, 1] over INTEGER tile-local pixel coords (all values <= 225 —
+# exactly bf16-representable), so three bf16 MXU passes over a 3-plane
+# decomposition of F replace ~10 VPU ops on the (rows, 256) workload.
+# Absolute power error < ~1e-3 (F plane sum carries ~24 mantissa bits);
+# default OFF until on-chip parity + timing confirm.
+COMP_DOT3 = __import__("os").environ.get("GS_COMP_DOT3", "0") == "1"
+
+
+def _dot3_matmul(x, B):
+    """3-plane bf16 decomposition of ``x`` contracted with an exactly-bf16
+    operand ``B``: x (n, k) @ B (k, m) -> (n, m) f32, ~24 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda a: jax.lax.dot_general(
+        a, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dot(hi) + dot(mid) + dot(lo)
+
+
+def _power_dot3(mxl, myl, ca, cb, cc, G):
+    """3-plane bf16 MXU evaluation of the quadratic power on tile-local
+    coordinates: (rows, 1) entry columns x (8, 256) pixel basis."""
+    F = jnp.concatenate(
+        [
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            ca * mxl + cb * myl,
+            cc * myl + cb * mxl,
+            -(0.5 * ca * mxl * mxl + 0.5 * cc * myl * myl
+              + cb * mxl * myl),
+            jnp.zeros_like(ca),
+            jnp.zeros_like(ca),
+        ],
+        axis=1,
+    )  # (rows, 8)
+    return _dot3_matmul(F, G)
+
 
 def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int,
@@ -56,6 +98,13 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
     q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     qx = (q % TILE_X).astype(jnp.float32)
     qy = (q // TILE_X).astype(jnp.float32)
+    if COMP_DOT3:
+        # integer-valued pixel basis, exact in bf16 (values <= 225)
+        G_basis = jnp.concatenate(
+            [qx * qx, qy * qy, qx * qy, qx, qy,
+             jnp.ones_like(qx), jnp.zeros_like(qx), jnp.zeros_like(qx)],
+            axis=0,
+        ).astype(jnp.bfloat16)  # (8, 256)
 
     # DMA slot layout: slots 0/1 ping-pong for blocks >= 1 of the current
     # tile; slots 2/3 hold tiles' FIRST blocks, prefetched one tile ahead so
@@ -136,9 +185,13 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             gid = blk[:, 10:11]
             vld = blk[:, 11:12]
 
-            dx = mx - px  # (rows, 256): entries x pixels
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            if COMP_DOT3:
+                power = _power_dot3(mx - tx * TILE_X, my - ty * TILE_Y,
+                                    ca, cb, cc, G_basis)
+            else:
+                dx = mx - px  # (rows, 256): entries x pixels
+                dy = my - py
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
             pos = c * BLOCK + sub  # position within the (aligned) tile run
@@ -203,12 +256,19 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             get_dma(slot, c).wait()
 
             # rem <= BLOCK only ever holds for a tile's LAST block (realign
-            # gives every earlier block a full 256 valid entries)
+            # gives every earlier block a full 256 valid entries); the
+            # quarter/half instances run the same math on a (64|128, 256)
+            # workload, so sparse boundary blocks cost proportionally less
             rem = count - c * BLOCK
             carry = jax.lax.cond(
-                rem <= BLOCK // 2,
-                lambda args: block_math(BLOCK // 2, c, slot, args),
-                lambda args: block_math(BLOCK, c, slot, args),
+                rem <= BLOCK // 4,
+                lambda args: block_math(BLOCK // 4, c, slot, args),
+                lambda args: jax.lax.cond(
+                    rem <= BLOCK // 2,
+                    lambda a: block_math(BLOCK // 2, c, slot, a),
+                    lambda a: block_math(BLOCK, c, slot, a),
+                    args,
+                ),
                 carry,
             )
             return (c + 1,) + carry

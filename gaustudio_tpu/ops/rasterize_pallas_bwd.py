@@ -43,6 +43,17 @@ _ALPHA_MAX = 0.99
 # dL tile-block channels
 _CT = 8  # dr dg db dD dO dMed final_T n_contrib
 
+# MXU mode for the backward block math (see rasterize_pallas.COMP_DOT3):
+# power via the rank-6 bilinear form, and the five conic/mean gradient
+# reductions via pixel-basis moments M_k = sum_p dpow * g_k(p) — ONE
+# 3-plane (rows, 256) @ (256, 8) matmul replaces five masked lane
+# reductions plus their feeding elementwise products. Gradient error vs
+# the VPU path is bounded by the 3-plane residual (~2^-22 relative per
+# term, plus cancellation in the moment recombination) — hold to ~1e-4
+# relative before enabling for training. Default OFF until on-chip
+# parity + timing confirm.
+BWD_DOT3 = __import__("os").environ.get("GS_BWD_DOT3", "0") == "1"
+
 
 def _suffix_incl_prod(x, subl, rows=BLOCK):
     cum = x
@@ -74,6 +85,17 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
     q_pix = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     qx = (q_pix % TILE_X).astype(jnp.float32)
     qy = (q_pix // TILE_X).astype(jnp.float32)
+    if BWD_DOT3:
+        from gaustudio_tpu.ops.rasterize_pallas import _power_dot3, _dot3_matmul
+
+        # integer-valued pixel basis, exact in bf16 (values <= 225)
+        basis = jnp.concatenate(
+            [qx * qx, qy * qy, qx * qy, qx, qy,
+             jnp.ones_like(qx), jnp.zeros_like(qx), jnp.zeros_like(qx)],
+            axis=0,
+        )  # (8, 256)
+        G_basis = basis.astype(jnp.bfloat16)
+        G_T = basis.T.astype(jnp.bfloat16)  # (256, 8) for moments
 
     # entry-block slots 0/1 ping-pong within a tile; slots 2/3 hold tiles'
     # LAST blocks (the reverse walk's first read), prefetched one tile ahead
@@ -177,9 +199,14 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             dep = blk[:, 9:10]
             vld = blk[:, 11:12]
 
-            dx = mx - px  # (rows, 256): entries x pixels
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            if BWD_DOT3:
+                mxl = mx - tx * TILE_X
+                myl = my - ty * TILE_Y
+                power = _power_dot3(mxl, myl, ca, cb, cc, G_basis)
+            else:
+                dx = mx - px  # (rows, 256): entries x pixels
+                dy = my - py
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
             pos = (b0 + c) * BLOCK + row_base + sub - start
@@ -210,12 +237,30 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
             dL_dG = op * dL_dalpha
             dpow = Ge * dL_dG
-            d_mx = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-            d_my = jnp.sum(dpow * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
-            d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
-            d_cb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
-            d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-            d_op = jnp.sum(Ge * dL_dalpha, axis=1, keepdims=True)
+            if BWD_DOT3:
+                # moments M_k = sum_p dpow * g_k(p) in one 3-plane matmul;
+                # the five conic/mean grads are exact recombinations over
+                # dx = mxl - qx, dy = myl - qy
+                M = _dot3_matmul(dpow, G_T)  # (rows, 8)
+                Mx2, My2, Mxy = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+                Mx, My1, M1 = M[:, 3:4], M[:, 4:5], M[:, 5:6]
+                Sdx = mxl * M1 - Mx
+                Sdy = myl * M1 - My1
+                d_mx = -(ca * Sdx + cb * Sdy)
+                d_my = -(cc * Sdy + cb * Sdx)
+                d_ca = -0.5 * (mxl * mxl * M1 - 2.0 * mxl * Mx + Mx2)
+                d_cb = -(mxl * myl * M1 - mxl * My1 - myl * Mx + Mxy)
+                d_cc = -0.5 * (myl * myl * M1 - 2.0 * myl * My1 + My2)
+                d_op = M1 / jnp.maximum(op, 1e-12)
+            else:
+                d_mx = jnp.sum(dpow * (-(ca * dx + cb * dy)), axis=1,
+                               keepdims=True)
+                d_my = jnp.sum(dpow * (-(cc * dy + cb * dx)), axis=1,
+                               keepdims=True)
+                d_ca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+                d_cb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+                d_cc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+                d_op = jnp.sum(Ge * dL_dalpha, axis=1, keepdims=True)
             d_r = jnp.sum(w * dCr, axis=1, keepdims=True)
             d_g = jnp.sum(w * dCg, axis=1, keepdims=True)
             d_b = jnp.sum(w * dCb, axis=1, keepdims=True)
@@ -252,18 +297,33 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
             get_dma(slot, c).wait()
 
             # a tile's partial first/last flat blocks: valid rows confined
-            # to one half run a (128, 256) instance of the math
+            # to one half (quarter) run a (128, 256) ((64, 256)) instance
             start_off = start - b0 * BLOCK
             end_off = start + count - (b0 + n_blocks - 1) * BLOCK
             half = BLOCK // 2
-            use_lower = (c == n_blocks - 1) & (end_off <= half)
-            use_upper = (c == 0) & (start_off >= half)
+            quart = BLOCK // 4
+            is_last = c == n_blocks - 1
+            is_first = c == 0
+            use_lower_q = is_last & (end_off <= quart)
+            use_lower = is_last & (end_off <= half)
+            use_upper_q = is_first & (start_off >= BLOCK - quart)
+            use_upper = is_first & (start_off >= half)
             Tc, Sq, upd = jax.lax.cond(
                 use_lower,
-                lambda a: block_math(half, 0, c, slot, *a),
+                lambda a: jax.lax.cond(
+                    use_lower_q,
+                    lambda b: block_math(quart, 0, c, slot, *b),
+                    lambda b: block_math(half, 0, c, slot, *b),
+                    a,
+                ),
                 lambda a: jax.lax.cond(
                     use_upper,
-                    lambda b: block_math(half, half, c, slot, *b),
+                    lambda b: jax.lax.cond(
+                        use_upper_q,
+                        lambda d: block_math(quart, BLOCK - quart, c, slot, *d),
+                        lambda d: block_math(half, half, c, slot, *d),
+                        b,
+                    ),
                     lambda b: block_math(BLOCK, 0, c, slot, *b),
                     a,
                 ),

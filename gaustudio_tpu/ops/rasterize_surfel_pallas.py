@@ -369,9 +369,14 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
             rem = count_ref[t] - c * BLOCK  # only the last block is partial
             carry = jax.lax.cond(
-                rem <= BLOCK // 2,
-                lambda a: block_math(BLOCK // 2, c, slot, a),
-                lambda a: block_math(BLOCK, c, slot, a),
+                rem <= BLOCK // 4,
+                lambda a: block_math(BLOCK // 4, c, slot, a),
+                lambda a: jax.lax.cond(
+                    rem <= BLOCK // 2,
+                    lambda b: block_math(BLOCK // 2, c, slot, b),
+                    lambda b: block_math(BLOCK, c, slot, b),
+                    a,
+                ),
                 carry,
             )
             return (c + 1,) + carry

@@ -155,6 +155,35 @@ def test_lean_modes_match_full(preprocessed, monkeypatch):
     )
 
 
+def test_comp_dot3_power_close(preprocessed, monkeypatch):
+    """GS_COMP_DOT3: the 3-plane bf16 MXU power matmul matches the VPU
+    power within ~1e-3 absolute on composited output."""
+    monkeypatch.setattr(binning_fast, "PACK_F16", False)
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    def run():
+        with _interp():
+            binned = jax.jit(
+                lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+            )(pre)
+            return np.asarray(
+                jax.jit(
+                    lambda b: rasterize_pallas.composite_pallas(b, gx, gy)
+                )(binned)
+            )
+
+    monkeypatch.setattr(rasterize_pallas, "COMP_DOT3", False)
+    exact = run()
+    monkeypatch.setattr(rasterize_pallas, "COMP_DOT3", True)
+    fast = run()
+    # color/depth/median rows and final_T within a few bf16-plane ulps
+    np.testing.assert_allclose(fast[:, 0:8], exact[:, 0:8], atol=4e-3, rtol=0)
+    # n_contrib counts may flip only on alpha-threshold-boundary entries
+    assert np.mean(fast[:, 8] != exact[:, 8]) < 0.05
+
+
 def test_pack_f16_inference_close(preprocessed, monkeypatch):
     """With f16 payload packing ON (the inference default), color/depth
     differ from the exact pipeline only by f16 rounding (~2^-12 relative —

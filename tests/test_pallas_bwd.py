@@ -22,7 +22,9 @@ def _interp():
     return pltpu.force_tpu_interpret_mode()
 
 
-def test_pallas_backward_matches_xla_reverse_walk():
+@pytest.mark.parametrize("bwd_dot3", [False, True])
+def test_pallas_backward_matches_xla_reverse_walk(monkeypatch, bwd_dot3):
+    monkeypatch.setattr(BW, "BWD_DOT3", bwd_dot3)
     s = _make_scene(n=60, seed=4, w=48, h=32)
     st = s["settings"]
     gx = (st.image_width + 15) // 16
@@ -88,10 +90,12 @@ def test_pallas_backward_matches_xla_reverse_walk():
         got = BW.reduce_entry_grads(grad_blocks, binned, pre.means2d.shape[0])
 
     names = ["means2d", "conic", "colors", "depths", "opac"]
+    # dot3 mode: 3-plane bf16 power/moments leave ~1e-4-scale residuals
+    atol = 2e-4 if bwd_dot3 else 2e-5
     for name, a, b in zip(names, got, want[:5]):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-6
-        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=2e-5,
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-3, atol=atol,
                                    err_msg=name)
 
 

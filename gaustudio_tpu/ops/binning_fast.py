@@ -481,7 +481,9 @@ def tile_ranges(sort_tile, num_tiles: int):
         sort_tile.astype(jnp.int32), (0, rows_pad * 128 - K),
         constant_values=num_tiles,
     ).reshape(rows_pad, 128)
-    hi_dim = max(8, -(-(num_tiles + 1) // 128))
+    # rounded up to 8 sublanes: the per-t write touches an 8-row window at
+    # r8 = (t // 1024) * 8, which must stay inside the block
+    hi_dim = -(-max(8, -(-(num_tiles + 1) // 128)) // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(1,),

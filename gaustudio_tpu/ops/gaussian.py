@@ -331,7 +331,10 @@ def preprocess(
         # brightening small splats. det_inv is 0 for culled rows.
         det_raw = ((cov2d[..., 0] - 0.3) * (cov2d[..., 2] - 0.3)
                    - cov2d[..., 1] * cov2d[..., 1])
-        op_flat = op_flat * jnp.sqrt(jnp.maximum(det_raw, 0.0) * det_inv)
+        # +1e-12 for the degenerate det_raw<=0 splats this mode targets:
+        # sqrt'(0)=inf would turn the clamp's 0 cotangent into NaN grads
+        op_flat = op_flat * jnp.sqrt(jnp.maximum(det_raw, 0.0) * det_inv
+                                     + 1e-12)
     r_support = jnp.sqrt(
         jnp.maximum(0.0, 2.0 * jnp.log(255.0 * jnp.maximum(op_flat, 1e-12)))
         + 1e-12

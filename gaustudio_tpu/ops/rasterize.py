@@ -149,8 +149,8 @@ def rasterize(
         )
         out = rasterize_pallas.composite_fast(
             grid_x, grid_y, settings.chunk, settings.with_median,
-            pre.means2d, pre.conic, pre.colors, pre.depths, pre.opacities,
-            settings.bg, binned_fast,
+            settings.need_grads, pre.means2d, pre.conic, pre.colors,
+            pre.depths, pre.opacities, settings.bg, binned_fast,
         )
         num_rendered = binned_fast.num_rendered
     else:

@@ -362,9 +362,10 @@ def rasterize_pallas_median_default():
     return _MEDIAN_DEFAULT
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def composite_fast(grid_x, grid_y, chunk, with_median, means2d, conic, colors,
-                   depths, opacities, bg, binned: BinnedBlocks):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def composite_fast(grid_x, grid_y, chunk, with_median, need_grads, means2d,
+                   conic, colors, depths, opacities, bg,
+                   binned: BinnedBlocks):
     """Drop-in for rasterize_ref.composite with the Pallas forward.
 
     ``binned`` must have been built from the same (stop-gradiented)
@@ -377,16 +378,25 @@ def composite_fast(grid_x, grid_y, chunk, with_median, means2d, conic, colors,
     return _packed_to_tilemajor(packed, grid_x * grid_y)
 
 
-def _composite_fast_fwd(grid_x, grid_y, chunk, with_median, means2d, conic,
-                        colors, depths, opacities, bg, binned):
-    out = composite_fast(grid_x, grid_y, chunk, with_median, means2d, conic,
-                         colors, depths, opacities, bg, binned)
+def _composite_fast_fwd(grid_x, grid_y, chunk, with_median, need_grads,
+                        means2d, conic, colors, depths, opacities, bg,
+                        binned):
+    out = composite_fast(grid_x, grid_y, chunk, with_median, need_grads,
+                         means2d, conic, colors, depths, opacities, bg,
+                         binned)
     res = (means2d, conic, colors, depths, opacities, bg, binned,
            out.final_T, out.n_contrib)
     return out, res
 
 
-def _composite_fast_bwd(grid_x, grid_y, chunk, with_median, res, ct):
+def _composite_fast_bwd(grid_x, grid_y, chunk, with_median, need_grads, res,
+                        ct):
+    if not need_grads:
+        raise ValueError(
+            "differentiating a render built with need_grads=False: the "
+            "binning dropped the slot operand the backward reduction needs "
+            "(set RasterizeSettings.need_grads=True for training paths)"
+        )
     (means2d, conic, colors, depths, opacities, bg, binned,
      final_T, n_contrib) = res
 

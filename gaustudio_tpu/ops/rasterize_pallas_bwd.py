@@ -511,16 +511,9 @@ def _segreduce_kernel(blk_lo_ref, g_hbm, grads_hbm, out_in, out_hbm,
             # 3-plane bf16 decomposition of the grads; the one-hot is
             # bf16-exact — half the MXU passes of a HIGHEST f32 dot,
             # residual < 2^-24 relative (see binning_fast._onehot_select)
-            oh_b = onehot.astype(jnp.bfloat16)
-            hi = gblk.astype(jnp.bfloat16)
-            r1 = gblk - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            dot3 = lambda a: jax.lax.dot_general(
-                a, oh_b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            partial = dot3(hi) + dot3(mid) + dot3(lo)
+            from gaustudio_tpu.ops.rasterize_pallas import _dot3_matmul
+
+            partial = _dot3_matmul(gblk, onehot.astype(jnp.bfloat16))
         else:
             partial = jax.lax.dot_general(
                 gblk, onehot, (((1,), (0,)), ((), ())),

@@ -67,10 +67,12 @@ def prepare_view(image: np.ndarray, intrinsics: np.ndarray,
     # symmetric crop about the principal point (dust3r.py:97-114)
     min_margin_x = min(cx, original_W - cx)
     min_margin_y = min(cy, original_H - cy)
-    left = max(0, cx - min_margin_x)
-    top = max(0, cy - min_margin_y)
-    right = min(original_W, cx + min_margin_x)
-    bottom = min(original_H, cy + min_margin_y)
+    # integer box: PIL coerces float boxes to ints, so adjust the principal
+    # point by the SAME integers the crop actually uses
+    left = int(max(0, cx - min_margin_x))
+    top = int(max(0, cy - min_margin_y))
+    right = int(min(original_W, cx + min_margin_x))
+    bottom = int(min(original_H, cy + min_margin_y))
     img = img.crop((left, top, right, bottom))
     if pil_mask is not None:
         pil_mask = pil_mask.crop((left, top, right, bottom))
@@ -214,6 +216,8 @@ class Dust3rInitializer(PcdInitializer):
         return self.build_model(model)
 
     def cache_dataset(self, dataset=None):
+        # reset: a re-run (overwrite=True) must not duplicate views
+        self._views, self._poses, self._intrinsics = [], [], []
         cams = [dataset[i] for i in
                 select_view_indices(len(dataset), self.max_images)]
         for camera in cams:

@@ -35,6 +35,22 @@ def preprocessed():
     return pre, st
 
 
+@pytest.mark.parametrize("num_tiles", [100, 1024, 2048])
+def test_tile_ranges_matches_searchsorted(num_tiles):
+    """Boundary-scan tile_ranges == searchsorted, including num_tiles that
+    land the last bucket row past a non-8-multiple hi_dim (1024: the 8-row
+    RMW window used to run out of the output block and, clamped by
+    interpret mode, zeroed the tail positions)."""
+    rng = np.random.default_rng(0)
+    keys = np.sort(rng.integers(0, num_tiles, size=4096)).astype(np.int32)
+    with _interp():
+        got = np.asarray(jax.jit(
+            lambda k: binning_fast.tile_ranges(k, num_tiles)
+        )(jnp.asarray(keys)))
+    want = np.searchsorted(keys, np.arange(num_tiles + 1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fast_binning_matches_reference(preprocessed):
     pre, st = preprocessed
     gx = (st.image_width + 15) // 16
@@ -155,6 +171,28 @@ def test_lean_modes_match_full(preprocessed, monkeypatch):
     )
 
 
+def test_need_grads_false_backward_raises(preprocessed):
+    """Differentiating a need_grads=False render must fail loudly: the
+    binning dropped the slot operand the backward reduction needs."""
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    def loss(colors):
+        binned = binning_fast.bin_gaussians_fast(
+            jax.tree.map(jax.lax.stop_gradient, pre), gx, gy, 4096,
+            carry_slot=False,
+        )
+        out = rasterize_pallas.composite_fast(
+            gx, gy, 256, True, False, pre.means2d, pre.conic, colors,
+            pre.depths, pre.opacities, jnp.zeros(3), binned,
+        )
+        return jnp.sum(out.color ** 2)
+
+    with _interp(), pytest.raises(ValueError, match="need_grads"):
+        jax.grad(loss)(pre.colors)
+
+
 def test_comp_dot3_power_close(preprocessed, monkeypatch):
     """GS_COMP_DOT3: the 3-plane bf16 MXU power matmul matches the VPU
     power within ~1e-3 absolute on composited output."""
@@ -240,7 +278,7 @@ def test_train_mode_grads_match_full(preprocessed):
             carry_gid=with_median,
         )
         out = rasterize_pallas.composite_fast(
-            gx, gy, 256, with_median, pre.means2d, pre.conic, colors,
+            gx, gy, 256, with_median, True, pre.means2d, pre.conic, colors,
             pre.depths, opac, bg, binned,
         )
         return jnp.sum(out.color ** 2) + jnp.sum(out.final_T)

@@ -143,17 +143,13 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
         def cond(state):
             return state[0] < n_blocks
 
-        def body(state):
-            r, Tc, Sq = state
-            c = n_blocks - 1 - r
-            slot = jnp.where(r == 0, 2 + i % 2, r % 2)
-
-            @pl.when(r + 1 < n_blocks)
-            def _():
-                get_dma((r + 1) % 2, c - 1).start()
-
-            get_dma(slot, c).wait()
-            blk = scratch[slot].T  # (24, BLOCK) -> (BLOCK, 24)
+        def block_math(rows, row_base, c, slot, Tc, Sq):
+            """Backward-composite rows [row_base, row_base+rows) of block
+            ``c``; a tile's partial FIRST/LAST flat blocks run narrower
+            instances (valid entries confined to one half/quarter),
+            matching the vanilla backward's boundary fast path."""
+            sub = subl[:rows]
+            blk = scratch[slot][:, row_base:row_base + rows].T  # (rows, 24)
 
             mx = [blk[:, k:k + 1] for k in range(3)]
             my = [blk[:, 3 + k:4 + k] for k in range(3)]
@@ -197,14 +193,14 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
                 0.0,
                 alpha,
             )
-            pos = (b0 + c) * BLOCK + subl - start
+            pos = (b0 + c) * BLOCK + row_base + sub - start
             in_range = (pos >= 0) & (pos < count)
             alpha = jnp.where(in_range, alpha, 0.0)
             contrib = (alpha > 0.0) & (pos < nc.astype(jnp.int32))
 
             one_m = 1.0 - alpha
             factor = jnp.where(contrib, one_m, 1.0)
-            revincl = _suffix_incl_prod(factor, subl)
+            revincl = _suffix_incl_prod(factor, sub, rows)
             Tb = Tc / revincl
             w = jnp.where(contrib, alpha * Tb, 0.0)
 
@@ -215,7 +211,7 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
                 + dA
             )
             q = w * payload
-            Sq_e = Sq + _suffix_incl_sum(q, subl) - q
+            Sq_e = Sq + _suffix_incl_sum(q, sub, rows) - q
 
             dL_dalpha = Tb * payload - Sq_e / one_m
             dL_dalpha = jnp.where(contrib, dL_dalpha, 0.0)
@@ -281,9 +277,66 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
                 d_mx + d_my + d_mw
                 + [d_dk0, d_dk1, d_dk2, d_op, d_r, d_g, d_b, d_n0, d_n1,
                    d_n2, d_cx, d_cy]
-                + [jnp.zeros((BLOCK, _GRAD_ROWS - 21), jnp.float32)],
+                + [jnp.zeros((rows, _GRAD_ROWS - 21), jnp.float32)],
                 axis=1,
-            ).T  # (BLOCK, 24) -> (24, BLOCK)
+            ).T  # (rows, 24) -> (24, rows)
+            # pad to a full-width (24, BLOCK) update so the RMW add below is
+            # branch-independent (out-of-slice lanes add zero)
+            pads = []
+            if row_base > 0:
+                pads.append(jnp.zeros((_GRAD_ROWS, row_base), jnp.float32))
+            pads.append(upd)
+            if row_base + rows < BLOCK:
+                pads.append(jnp.zeros((_GRAD_ROWS, BLOCK - row_base - rows),
+                                      jnp.float32))
+            upd_full = jnp.concatenate(pads, axis=1) if len(pads) > 1 else upd
+            return Tb[0:1, :], Sq + jnp.sum(q, axis=0, keepdims=True), upd_full
+
+        def body(state):
+            r, Tc, Sq = state
+            c = n_blocks - 1 - r
+            slot = jnp.where(r == 0, 2 + i % 2, r % 2)
+
+            @pl.when(r + 1 < n_blocks)
+            def _():
+                get_dma((r + 1) % 2, c - 1).start()
+
+            get_dma(slot, c).wait()
+
+            # a tile's partial first/last flat blocks: valid rows confined
+            # to one half (quarter) run a (128, 256) ((64, 256)) instance
+            start_off = start - b0 * BLOCK
+            end_off = start + count - (b0 + n_blocks - 1) * BLOCK
+            half = BLOCK // 2
+            quart = BLOCK // 4
+            is_last = c == n_blocks - 1
+            is_first = c == 0
+            use_lower_q = is_last & (end_off <= quart)
+            use_lower = is_last & (end_off <= half)
+            use_upper_q = is_first & (start_off >= BLOCK - quart)
+            use_upper = is_first & (start_off >= half)
+            Tc, Sq, upd = jax.lax.cond(
+                use_lower,
+                lambda a: jax.lax.cond(
+                    use_lower_q,
+                    lambda b: block_math(quart, 0, c, slot, *b),
+                    lambda b: block_math(half, 0, c, slot, *b),
+                    a,
+                ),
+                lambda a: jax.lax.cond(
+                    use_upper,
+                    lambda b: jax.lax.cond(
+                        use_upper_q,
+                        lambda d: block_math(quart, BLOCK - quart, c, slot, *d),
+                        lambda d: block_math(half, half, c, slot, *d),
+                        b,
+                    ),
+                    lambda b: block_math(BLOCK, 0, c, slot, *b),
+                    a,
+                ),
+                (Tc, Sq),
+            )
+
             grad_read(r).wait()
             gscr[r % 2] = gscr[r % 2] + upd
             grad_write(r).start()
@@ -296,8 +349,6 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
 
                 grad_read(r + 1).start()
 
-            Tc = Tb[0:1, :]
-            Sq = Sq + jnp.sum(q, axis=0, keepdims=True)
             return (r + 1, Tc, Sq)
 
         jax.lax.while_loop(cond, body, init)

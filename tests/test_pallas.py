@@ -171,6 +171,46 @@ def test_lean_modes_match_full(preprocessed, monkeypatch):
     )
 
 
+def test_power_dot3_extreme_coords():
+    """_power_dot3 precision at the workload extremes: tile-local means up
+    to ~2000 px (a tile at the far corner of a 1080p frame compositing a
+    huge splat) and tiny splats with conics up to ~1. The 3-plane bf16
+    plane-sum must stay within ~1e-3 absolute of the direct VPU power."""
+    rng = np.random.default_rng(1)
+    rows = 256
+    qx = np.tile(np.arange(16, dtype=np.float32), 16)[None, :]
+    qy = np.repeat(np.arange(16, dtype=np.float32), 16)[None, :]
+    G = jnp.asarray(np.concatenate(
+        [qx * qx, qy * qy, qx * qy, qx, qy, np.ones_like(qx),
+         np.zeros_like(qx), np.zeros_like(qx)], axis=0
+    ), jnp.bfloat16)
+
+    # mixed population: huge far splats + tiny near splats
+    far = rng.uniform(-2000, 2000, (rows // 2, 1)).astype(np.float32)
+    near = rng.uniform(-20, 36, (rows // 2, 1)).astype(np.float32)
+    mxl = np.concatenate([far, near]).astype(np.float32)
+    myl = np.concatenate([near, far]).astype(np.float32)
+    sig = np.where(np.abs(mxl) > 100, np.abs(mxl) / 3.0, rng.uniform(
+        0.7, 8.0, (rows, 1))).astype(np.float32)
+    ca = (1.0 / (sig * sig)).astype(np.float32)
+    cc = (1.0 / (sig * sig) * rng.uniform(0.5, 2.0, (rows, 1))).astype(
+        np.float32)
+    cb = (0.3 * np.sqrt(ca * cc) * rng.uniform(-1, 1, (rows, 1))).astype(
+        np.float32)
+
+    got = np.asarray(rasterize_pallas._power_dot3(
+        jnp.asarray(mxl), jnp.asarray(myl), jnp.asarray(ca), jnp.asarray(cb),
+        jnp.asarray(cc), G))
+    dx = mxl - qx
+    dy = myl - qy
+    want = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # only powers near the visible range matter (alpha floor 1/255 is
+    # power ~ -5.5; anything below -12 composites to exactly 0 either way)
+    m = want > -12.0
+    assert m.any()
+    np.testing.assert_allclose(got[m], want[m], atol=2e-3, rtol=0)
+
+
 def test_need_grads_false_backward_raises(preprocessed):
     """Differentiating a need_grads=False render must fail loudly: the
     binning dropped the slot operand the backward reduction needs."""

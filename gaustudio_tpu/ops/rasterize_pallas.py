@@ -310,7 +310,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(padded // tiles_per_prog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
         ),

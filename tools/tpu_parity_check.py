@@ -61,9 +61,10 @@ def main():
     )
     settings = settings._replace(num_entries=cap)
 
-    def render(backend, device):
+    def render(backend, device, need_grads=True):
         s = settings._replace(
             backend=backend,
+            need_grads=need_grads,
             bg=jax.device_put(settings.bg, device),
             viewmatrix=jax.device_put(settings.viewmatrix, device),
             projmatrix=jax.device_put(settings.projmatrix, device),
@@ -83,27 +84,32 @@ def main():
 
     tpu_dev = jax.devices()[0]
     cpu_dev = jax.devices("cpu")[0]
-    img_t, dep_t, op_t = render("pallas", tpu_dev)
     img_c, dep_c, op_c = render("xla", cpu_dev)
 
     ok = True
-    for name, a, b, tol in (
-        ("render", img_t, img_c, 5e-3),
-        ("depth", dep_t, dep_c, 5e-2),
-        ("final_opacity", op_t, op_c, 5e-3),
-    ):
-        err = np.abs(a - b)
-        frac_bad = float((err > tol).mean())
-        print(f"{name:14s} max|err|={err.max():.5f}  frac>tol={frac_bad:.5f}")
-        # device transcendentals differ; allow a small fraction of pixels
-        # past tol, but catastrophic divergence (empty image etc.) fails
-        if frac_bad > 0.005:
+    # training mode (need_grads=True, bit-exact payloads) AND the
+    # inference/lean mode bench.py actually runs (need_grads=False:
+    # slot operand dropped, (r,g)/(b,opacity) ride f16-packed payloads)
+    for mode, need_grads in (("train-mode", True), ("inference-mode", False)):
+        img_t, dep_t, op_t = render("pallas", tpu_dev, need_grads=need_grads)
+        for name, a, b, tol in (
+            ("render", img_t, img_c, 5e-3),
+            ("depth", dep_t, dep_c, 5e-2),
+            ("final_opacity", op_t, op_c, 5e-3),
+        ):
+            err = np.abs(a - b)
+            frac_bad = float((err > tol).mean())
+            print(f"{mode:15s}{name:14s} max|err|={err.max():.5f}  "
+                  f"frac>tol={frac_bad:.5f}")
+            # device transcendentals differ; allow a small fraction of
+            # pixels past tol, but catastrophic divergence fails
+            if frac_bad > 0.005:
+                ok = False
+        lit_t = float((img_t.sum(0) > 0).mean())
+        lit_c = float((img_c.sum(0) > 0).mean())
+        print(f"{mode:15s}lit fraction  tpu={lit_t:.4f} cpu={lit_c:.4f}")
+        if abs(lit_t - lit_c) > 0.01:
             ok = False
-    lit_t = float((img_t.sum(0) > 0).mean())
-    lit_c = float((img_c.sum(0) > 0).mean())
-    print(f"lit fraction  tpu={lit_t:.4f} cpu={lit_c:.4f}")
-    if abs(lit_t - lit_c) > 0.01:
-        ok = False
     print("PARITY OK" if ok else "PARITY FAIL")
     return 0 if ok else 1
 

@@ -112,6 +112,7 @@ def bench_surfel_render():
         bg=jnp.zeros(3), viewmatrix=jnp.asarray(view),
         projmatrix=jnp.asarray(proj), campos=jnp.asarray(campos),
         num_entries=0, chunk=4096, backend="pallas",
+        need_grads=False,  # forward-only: lean sort, f16-packed payloads
     )
     pre = RS.preprocess_surfel(
         jnp.asarray(xyz), jnp.asarray(opac), st.viewmatrix, st.projmatrix,

@@ -303,9 +303,9 @@ def composite_surfel(grid_x, grid_y, chunk, pre: SurfelPre, binned) -> SurfelOut
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def composite_surfel_fast(grid_x, grid_y, M, Dk, mean2d, opacities, colors,
-                          normal_view, binned):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def composite_surfel_fast(grid_x, grid_y, need_grads, M, Dk, mean2d,
+                          opacities, colors, normal_view, binned):
     """Pallas surfel compositor with a custom VJP.
 
     The kernel reads entry data from ``binned`` (built from stop-gradiented
@@ -316,16 +316,22 @@ def composite_surfel_fast(grid_x, grid_y, M, Dk, mean2d, opacities, colors,
     return SP.composite_surfel_pallas(binned, grid_x, grid_y)
 
 
-def _csf_fwd(grid_x, grid_y, M, Dk, mean2d, opacities, colors, normal_view,
-             binned):
-    packed = composite_surfel_fast(grid_x, grid_y, M, Dk, mean2d, opacities,
-                                   colors, normal_view, binned)
+def _csf_fwd(grid_x, grid_y, need_grads, M, Dk, mean2d, opacities, colors,
+             normal_view, binned):
+    packed = composite_surfel_fast(grid_x, grid_y, need_grads, M, Dk, mean2d,
+                                   opacities, colors, normal_view, binned)
     return packed, (binned, packed[:, 10, :], packed[:, 12, :])
 
 
-def _csf_bwd(grid_x, grid_y, res, dp):
+def _csf_bwd(grid_x, grid_y, need_grads, res, dp):
     from gaustudio_tpu.ops import rasterize_surfel_pallas_bwd as SB
 
+    if not need_grads:
+        raise ValueError(
+            "differentiating a surfel render built with need_grads=False: "
+            "the binning dropped the slot operand the backward reduction "
+            "needs (set RasterizeSettings.need_grads=True for training)"
+        )
     binned, final_T, n_contrib = res
     # packed rows: 0-2 C, 3 depth-sum (fans out to depth AND m1 so its
     # cotangent already sums both), 4-6 normal, 7 med_d, 8 med_w, 9 med_i,
@@ -403,10 +409,11 @@ def rasterize_surfels(
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
             pre,
         )
-        sb = SP.bin_surfels_fast(pre_sg, grid_x, grid_y, settings.num_entries)
+        sb = SP.bin_surfels_fast(pre_sg, grid_x, grid_y, settings.num_entries,
+                                 carry_slot=settings.need_grads)
         packed = composite_surfel_fast(
-            grid_x, grid_y, pre.M, pre.Dk, pre.mean2d, pre.opacities,
-            pre.colors, pre.normal_view, sb,
+            grid_x, grid_y, settings.need_grads, pre.M, pre.Dk, pre.mean2d,
+            pre.opacities, pre.colors, pre.normal_view, sb,
         )
         pad1 = lambda x, v=0.0: jnp.concatenate(
             [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0

@@ -64,8 +64,16 @@ class SurfelBinned(NamedTuple):
     compact_gid: jnp.ndarray  # [N] int32 compact order -> original gaussian
 
 
-def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelBinned:
-    """Surfel twin of binning_fast.bin_gaussians_fast over SurfelPre."""
+def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
+                     carry_slot: bool = True) -> SurfelBinned:
+    """Surfel twin of binning_fast.bin_gaussians_fast over SurfelPre.
+
+    ``carry_slot=False`` (inference: mesh extraction, gs-render) drops the
+    backward-only pre-sort slot operand from the tile sort and rides
+    (r,g)/(b,opacity)/(n0,n1) as f16-packed pairs — 4 fewer operands of
+    the ~25 total across the two stable sorts. f16 rounding (~2^-12
+    relative) is invisible at 8-bit output; depth coefficients, mean2d
+    and gid stay exact f32."""
     n = pre.depths.shape[0]
     K = num_entries
     num_tiles = grid_x * grid_y
@@ -148,11 +156,34 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int) -> SurfelB
         (tile,) + tuple(expanded_t[a] for a in range(10)),
         num_keys=1, is_stable=True,
     )
-    t2 = jax.lax.sort(
-        (tile,) + tuple(expanded_t[a] for a in range(10, 22))
-        + (slot.astype(jnp.float32),),
-        num_keys=1, is_stable=True,
-    )
+    if carry_slot:
+        t2 = jax.lax.sort(
+            (tile,) + tuple(expanded_t[a] for a in range(10, 22))
+            + (slot.astype(jnp.float32),),
+            num_keys=1, is_stable=True,
+        )
+    else:
+        from gaustudio_tpu.ops.binning_fast import _pack2_f16, _unpack2_f16
+
+        t2p = jax.lax.sort(
+            (tile,)
+            + (expanded_t[10], expanded_t[11])  # Dk1, Dk2 (exact)
+            + (
+                _pack2_f16(expanded_t[13], expanded_t[14]),  # (r, g)
+                _pack2_f16(expanded_t[15], expanded_t[12]),  # (b, op)
+                _pack2_f16(expanded_t[16], expanded_t[17]),  # (n0, n1)
+            )
+            + (expanded_t[18], expanded_t[19], expanded_t[20],
+               expanded_t[21]),  # n2, cx, cy, gid (exact)
+            num_keys=1, is_stable=True,
+        )
+        r_row, g_row = _unpack2_f16(t2p[3])
+        b_row, op_row = _unpack2_f16(t2p[4])
+        n0_row, n1_row = _unpack2_f16(t2p[5])
+        zero_k = jnp.zeros((K,), jnp.float32)
+        # rebuild the carry_slot operand order (slot row -> zeros)
+        t2 = (t2p[0], t2p[1], t2p[2], op_row, r_row, g_row, b_row,
+              n0_row, n1_row, t2p[6], t2p[7], t2p[8], t2p[9], zero_k)
     sort_tile = t1[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     # t2 payload order: cols 10-18 attrs -> t2[1:10]; col 19 cx -> t2[10];

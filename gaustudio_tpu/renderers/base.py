@@ -52,6 +52,13 @@ class BaseRenderer:
             num_entries=num_entries,
             chunk=int(self.config.get("chunk", 1024)),
             antialias=bool(self.config.get("antialias", False)),
+            # renderers are the inference surface (gs-render, mesh/pcd
+            # extraction): default to the lean forward-only pipeline, which
+            # drops the backward-only sort operand and rides f16-packed
+            # color/opacity payloads. Trainers build their own settings
+            # with need_grads=True; differentiating through a renderer
+            # raises loudly unless config["need_grads"] is set.
+            need_grads=bool(self.config.get("need_grads", False)),
         )
 
     def _capacity(self, camera, xyz, opacity, scales, rotations, cov3d,

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from gaustudio_tpu import models, renderers
 from gaustudio_tpu.cameras import Camera
@@ -159,6 +160,55 @@ def test_surfel_fast_binning_matches_xla_path():
               "rendered_depth_sum", "rendered_median_depth"):
         np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(ref[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_surfel_lean_mode_close_and_backward_raises():
+    """need_grads=False (the renderer/inference default): output matches
+    the exact pipeline within f16 payload rounding, and differentiating
+    raises loudly (the slot operand was dropped)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    n = 80
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    xyz[:, 2] += 2.5
+    scales = np.abs(rng.normal(size=(n, 3)).astype(np.float32)) * 0.15 + 0.02
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    settings = _settings(_front_camera(64, 48))
+
+    def run(need_grads):
+        s = settings._replace(backend="pallas", num_entries=1 << 13,
+                              chunk=512, need_grads=need_grads)
+        return rasterize_surfel.rasterize_surfels(
+            jnp.asarray(xyz), jnp.asarray(opac), s,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+            colors_precomp=jnp.asarray(colors),
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        exact = run(True)
+        lean = run(False)
+    for k, tol in (("render", 4e-3), ("rendered_alpha", 4e-3),
+                   ("rendered_normal_view", 4e-3),
+                   ("rendered_depth_sum", 2e-2)):
+        np.testing.assert_allclose(np.asarray(lean[k]), np.asarray(exact[k]),
+                                   atol=tol, rtol=0, err_msg=k)
+
+    def loss(colors):
+        s = settings._replace(backend="pallas", num_entries=1 << 13,
+                              chunk=512, need_grads=False)
+        out = rasterize_surfel.rasterize_surfels(
+            jnp.asarray(xyz), jnp.asarray(opac), s,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+            colors_precomp=colors,
+        )
+        return jnp.sum(out["render"] ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            pytest.raises(ValueError, match="need_grads"):
+        jax.grad(loss)(jnp.asarray(colors))
 
 
 def test_surfel_pallas_empty_and_saturated():

@@ -132,6 +132,58 @@ def test_gs_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "cameras.json"))
 
 
+def test_gs_train_cli_2dgs_smoke(tmp_path):
+    """--config 2dgs routes to the SurfelTrainer; the exported ply must be
+    a 2DGS checkpoint (scale_0/scale_1 only) that the renderers accept."""
+    import json as _json
+
+    from PIL import Image
+
+    from gaustudio_tpu.scripts import train as train_script
+    from gaustudio_tpu.utils.ply import read_ply
+
+    rng = np.random.default_rng(2)
+    src = tmp_path / "scene"
+    (src / "train").mkdir(parents=True)
+    frames = []
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=3,
+                                            image_size=32, fov_deg=50)
+    for i, cam in enumerate(cams):
+        img = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(src / "train" / f"r_{i}.png")
+        c2w = np.linalg.inv(cam.extrinsics)
+        c2w[:, 1:3] *= -1
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    (src / "transforms_train.json").write_text(
+        _json.dumps({"camera_angle_x": float(cams[0].FoVx), "w": 32, "h": 32,
+                     "frames": frames})
+    )
+    out = str(tmp_path / "out2d")
+    _run_main(
+        train_script,
+        ["-s", str(src), "-o", out, "--dataset", "nerf", "--config", "2dgs",
+         "--iterations", "10", "--save_every", "10", "--init_points", "300"],
+    )
+    ply_path = os.path.join(out, "point_cloud", "iteration_10",
+                            "point_cloud.ply")
+    assert os.path.exists(ply_path)
+    names = list(read_ply(ply_path)["vertex"].keys())
+    assert "scale_0" in names and "scale_1" in names
+    assert "scale_2" not in names, "2DGS export must have 2-dim scales"
+
+    # the exported checkpoint renders through the registry surface
+    from gaustudio_tpu import models, renderers
+    pcd = models.make({"name": "vanilla_pcd",
+                       "attributes": {"xyz": 3, "opacity": 1, "f_dc": 3,
+                                      "f_rest": 45, "scale": 2, "rot": 4}})
+    pcd.load(ply_path)
+    r = renderers.make({"name": "surfel_renderer"})
+    cam = cams[0]
+    outp = r.render(cam, pcd)
+    assert np.isfinite(np.asarray(outp["render"])).all()
+
+
 def test_gs_render_mesh_and_texture_cli(trained_model_dir, tmp_path):
     from gaustudio_tpu.ops import mcubes
     from gaustudio_tpu.scripts import render_mesh, texture_mesh

@@ -325,6 +325,12 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
         kernel,
         out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
+        # programs are self-contained per tile-group (own DMA chains,
+        # disjoint outputs): splittable across cores on multi-core TPU
+        # gens (v4/v5p megacore); no-op on single-core v5e
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
     )(ablock_start, tile_count, binned.aligned_blocks)
     return out[:num_tiles]
 

@@ -457,5 +457,10 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
         kernel,
         out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
+        # self-contained tile-group programs: core-splittable on megacore
+        # TPU gens (see rasterize_pallas.composite_pallas)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
     )(ablock_start, tile_count, binned.aligned_blocks)
     return out[:num_tiles]

@@ -26,6 +26,12 @@ def main():
     parser.add_argument("--seed", default=42, type=int)
     parser.add_argument("--init_points", default=50000, type=int,
                         help="random-init point count when no sparse points exist")
+    parser.add_argument("--resume", default=None,
+                        help="orbax checkpoint dir (output_dir/ckpt/step_N) "
+                             "to restore full training state from (vanilla)")
+    parser.add_argument("--checkpoint_every", default=0, type=int,
+                        help="save a full orbax training checkpoint "
+                             "(params + Adam moments + step) every N iters")
     args, extras = parser.parse_known_args()
 
     import numpy as np
@@ -143,6 +149,16 @@ def main():
         trainer = TS.SurfelTrainer(pcd, dataset, scfg, seed=args.seed)
     else:
         trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
+        if args.resume:
+            # full-state resume (params + Adam moments + densify stats +
+            # step) — beyond the reference's ply-only `resume_path`
+            trainer.state = T.load_checkpoint(args.resume)
+            print(f"Resumed training state from {args.resume} "
+                  f"(step {int(trainer.state.step)}, "
+                  f"{int(np.asarray(trainer.state.valid).sum())} points)")
+    if args.resume and not isinstance(trainer, T.Trainer):
+        print("WARNING: --resume currently restores vanilla trainer "
+              "state only; ignored for scaffold/surfel configs")
 
     def save(iteration):
         out = os.path.join(args.output_dir, "point_cloud", f"iteration_{iteration}")
@@ -160,7 +176,12 @@ def main():
         if m["iter"] % args.save_every == 0:
             save(m["iter"])
 
-    trainer.train(iterations=args.iterations, log_every=100, callback=log)
+    ckpt_kw = {}
+    if args.checkpoint_every and isinstance(trainer, T.Trainer):
+        ckpt_kw = dict(checkpoint_dir=os.path.join(args.output_dir, "ckpt"),
+                       checkpoint_every=args.checkpoint_every)
+    trainer.train(iterations=args.iterations, log_every=100, callback=log,
+                  **ckpt_kw)
     save(args.iterations)
     print(f"Training done -> {args.output_dir}")
 

@@ -132,6 +132,55 @@ def test_gs_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "cameras.json"))
 
 
+def _write_nerf_scene(path, num_cam=3, size=32, seed=3):
+    import json as _json
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    (path / "train").mkdir(parents=True)
+    frames = []
+    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=num_cam,
+                                            image_size=size, fov_deg=50)
+    for i, cam in enumerate(cams):
+        img = (rng.uniform(size=(size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(path / "train" / f"r_{i}.png")
+        c2w = np.linalg.inv(cam.extrinsics)
+        c2w[:, 1:3] *= -1
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    (path / "transforms_train.json").write_text(
+        _json.dumps({"camera_angle_x": float(cams[0].FoVx), "w": size,
+                     "h": size, "frames": frames})
+    )
+
+
+def test_gs_train_cli_resume(tmp_path):
+    """--checkpoint_every writes full orbax state; --resume continues from
+    it (step counter and point count restored)."""
+    from gaustudio_tpu.scripts import train as train_script
+
+    src = tmp_path / "scene"
+    _write_nerf_scene(src)
+    out = str(tmp_path / "out")
+    common = ["-s", str(src), "-o", out, "--dataset", "nerf",
+              "--save_every", "10", "--init_points", "300"]
+    _run_main(train_script, common + ["--iterations", "10",
+                                      "--checkpoint_every", "10"])
+    ckpt = os.path.join(out, "ckpt", "step_10")
+    assert os.path.isdir(ckpt)
+
+    _run_main(train_script, common + ["--iterations", "10",
+                                      "--resume", ckpt])
+    # resumed run exported a fresh iteration_10 ply
+    assert os.path.exists(os.path.join(out, "point_cloud", "iteration_10",
+                                       "point_cloud.ply"))
+
+    from gaustudio_tpu.pipelines import train as T
+    state = T.load_checkpoint(ckpt)
+    assert int(state.step) == 10
+
+
 def test_gs_train_cli_2dgs_smoke(tmp_path):
     """--config 2dgs routes to the SurfelTrainer; the exported ply must be
     a 2DGS checkpoint (scale_0/scale_1 only) that the renderers accept."""

@@ -47,13 +47,14 @@ def make_dp_render_fn(mesh: Mesh, settings: RasterizeSettings, render_fn):
                 viewmatrix=cam.viewmatrix, projmatrix=cam.projmatrix,
                 campos=cam.campos,
             )
+            # pass the image buffers through: render_fn may be the vanilla
+            # rasterizer (rendered_depth/median/opacity) or the 2DGS surfel
+            # one (rendered_normal_view/depth_sum/dist_*). Per-gaussian
+            # outputs (radii, viewspace grads) are dropped — stacking [N]
+            # arrays per view would haul them over ICI for no consumer.
             out = render_fn(s)
-            return {
-                "render": out["render"],
-                "rendered_depth": out["rendered_depth"],
-                "rendered_median_depth": out["rendered_median_depth"],
-                "rendered_final_opacity": out["rendered_final_opacity"],
-            }
+            return {k: v for k, v in out.items()
+                    if k == "render" or k.startswith("rendered_")}
 
         return jax.lax.map(one, cams)
 

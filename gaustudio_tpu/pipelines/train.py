@@ -421,18 +421,38 @@ class Trainer:
         self.chunk = chunk
         cam0 = self.cameras[0]
         self.H, self.W = int(cam0.image_height), int(cam0.image_width)
-        if num_entries is None:
-            probe = self._settings(1 << 14)
-            num_entries = rast.suggest_num_entries(
-                self.state.params["xyz"], jax.nn.sigmoid(self.state.params["opacity"][:, 0]),
-                probe._replace(viewmatrix=jnp.asarray(cam0.world_view_transform),
-                               projmatrix=jnp.asarray(cam0.full_proj_transform),
-                               campos=jnp.asarray(cam0.camera_center)),
-                scales=jnp.exp(self.state.params["scale"]),
-                rotations=self.state.params["rot"],
-                margin=4.0,
+        self.num_entries = (num_entries if num_entries is not None
+                            else self.reprobe_capacity())
+
+    def reprobe_capacity(self, margin: float = 4.0) -> int:
+        """Entry-capacity probe against the CURRENT state — called at init
+        and again after a checkpoint restore replaces the state (a resumed
+        post-densification cloud needs a bigger bucket than the init one;
+        an undersized bucket silently truncates entries and corrupts
+        gradients until the overflow watchdog fires)."""
+        cam0 = self.cameras[0]
+        probe = self._settings(1 << 14)
+        scale = self.state.params["scale"]
+        if scale.shape[1] == 2:  # 2DGS surfels: pad a thin z for the probe
+            scale = jnp.concatenate(
+                [scale, jnp.full_like(scale[:, :1], -16.0)], axis=1
             )
-        self.num_entries = num_entries
+        return rast.suggest_num_entries(
+            self.state.params["xyz"],
+            jax.nn.sigmoid(self.state.params["opacity"][:, 0]),
+            probe._replace(viewmatrix=jnp.asarray(cam0.world_view_transform),
+                           projmatrix=jnp.asarray(cam0.full_proj_transform),
+                           campos=jnp.asarray(cam0.camera_center)),
+            scales=jnp.exp(scale),
+            rotations=self.state.params["rot"],
+            margin=margin,
+        )
+
+    def restore(self, ckpt_path: str) -> None:
+        """Replace the training state from an orbax checkpoint and re-probe
+        the entry capacity for the restored cloud."""
+        self.state = load_checkpoint(ckpt_path)
+        self.num_entries = max(self.num_entries, self.reprobe_capacity())
 
     def _settings(self, num_entries) -> RasterizeSettings:
         cam0 = self.cameras[0]
@@ -503,7 +523,11 @@ class Trainer:
         next_batch = make_batch_source(self.cameras, self._batch,
                                        use_prefetch=use_prefetch)
         history = []
-        for it in range(1, iters + 1):
+        # continue from a restored step: ``iterations`` is the ABSOLUTE
+        # target, so schedules (densify windows, SH warmup, opacity resets)
+        # and checkpoint names stay aligned with uninterrupted training
+        start = int(np.asarray(self.state.step))
+        for it in range(start + 1, iters + 1):
             batch = next_batch()
             self.state, metrics = train_step(self.state, batch, settings, cfg)
 

@@ -12,6 +12,7 @@ two surface regularizers the surfel buffers exist for —
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -156,7 +157,8 @@ class SurfelTrainer(Trainer):
         self.surfel_cfg = cfg
         super().__init__(pcd, dataset, cfg.base, **kw)
 
-    def train(self, iterations=None, log_every: int = 100, callback=None, **kw):
+    def train(self, iterations=None, log_every: int = 100, callback=None,
+              checkpoint_dir=None, checkpoint_every: int = 0, **kw):
         cfg = self.surfel_cfg
         iters = iterations or cfg.base.iterations
         settings = self._settings(self.num_entries)
@@ -168,7 +170,9 @@ class SurfelTrainer(Trainer):
 
         next_batch = make_batch_source(self.cameras, self._batch)
         history = []
-        for it in range(1, iters + 1):
+        # absolute-iteration continuation after restore (see Trainer.train)
+        start = int(np.asarray(self.state.step))
+        for it in range(start + 1, iters + 1):
             self.state, metrics = train_step_surfel(
                 self.state, next_batch(), settings, cfg
             )
@@ -190,4 +194,8 @@ class SurfelTrainer(Trainer):
                 history.append(m)
                 if callback:
                     callback(m)
+            if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
+                T.save_checkpoint(
+                    os.path.join(checkpoint_dir, f"step_{it}"), self.state
+                )
         return history

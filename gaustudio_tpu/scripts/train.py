@@ -116,6 +116,10 @@ def main():
             white_background=args.white_background,
         )
         trainer = TSc.ScaffoldTrainer(pcd, dataset, sccfg, seed=args.seed)
+        if args.resume or args.checkpoint_every:
+            print("WARNING: --resume/--checkpoint_every are not supported "
+                  "for scaffold configs (anchor+MLP state); use the model "
+                  "config's resume_path to reload a ply")
 
         def save(iteration):
             out = os.path.join(args.output_dir, "point_cloud",
@@ -149,16 +153,18 @@ def main():
         trainer = TS.SurfelTrainer(pcd, dataset, scfg, seed=args.seed)
     else:
         trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
-        if args.resume:
-            # full-state resume (params + Adam moments + densify stats +
-            # step) — beyond the reference's ply-only `resume_path`
-            trainer.state = T.load_checkpoint(args.resume)
-            print(f"Resumed training state from {args.resume} "
-                  f"(step {int(trainer.state.step)}, "
-                  f"{int(np.asarray(trainer.state.valid).sum())} points)")
-    if args.resume and not isinstance(trainer, T.Trainer):
-        print("WARNING: --resume currently restores vanilla trainer "
-              "state only; ignored for scaffold/surfel configs")
+    if args.resume:
+        # full-state resume (params + Adam moments + densify stats + step)
+        # — beyond the reference's ply-only `resume_path`; applies to both
+        # the vanilla and 2DGS trainers (same state pytree). ``--iterations``
+        # stays the ABSOLUTE target: schedules and checkpoint names align
+        # with uninterrupted training.
+        trainer.restore(args.resume)
+        print(f"Resumed training state from {args.resume} "
+              f"(step {int(trainer.state.step)}, "
+              f"{int(np.asarray(trainer.state.valid).sum())} points)")
+        if int(trainer.state.step) >= args.iterations:
+            print("WARNING: restored step >= --iterations; nothing to train")
 
     def save(iteration):
         out = os.path.join(args.output_dir, "point_cloud", f"iteration_{iteration}")
@@ -177,7 +183,7 @@ def main():
             save(m["iter"])
 
     ckpt_kw = {}
-    if args.checkpoint_every and isinstance(trainer, T.Trainer):
+    if args.checkpoint_every:
         ckpt_kw = dict(checkpoint_dir=os.path.join(args.output_dir, "ckpt"),
                        checkpoint_every=args.checkpoint_every)
     trainer.train(iterations=args.iterations, log_every=100, callback=log,

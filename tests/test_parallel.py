@@ -131,3 +131,45 @@ def test_dp_render_and_fuse():
     vol2 = fuse(vol, rc)
     assert float(jnp.sum(vol2.weight)) > 0
     assert np.isfinite(np.asarray(vol2.tsdf)).all()
+
+
+def test_dp_render_surfel():
+    """Camera-DP render works with the 2DGS surfel rasterizer as render_fn
+    (the generic render_fn contract: mesh-extraction over surfel models)."""
+    import math
+
+    from gaustudio_tpu.ops import rasterize_surfel as RS
+    from gaustudio_tpu.ops.rasterize import RasterizeSettings
+
+    pcd, cams = _scene(size=32, n_cams=8)
+    mesh = make_mesh(dp=8, gs=1)
+    cam0 = cams[0]
+    settings = RasterizeSettings(
+        image_height=32, image_width=32,
+        tanfovx=math.tan(cam0.FoVx / 2), tanfovy=math.tan(cam0.FoVy / 2),
+        bg=jnp.zeros(3), num_entries=1 << 12, chunk=512, need_grads=False,
+    )
+    n = len(pcd._xyz)
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(pcd._xyz)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    scales = jnp.exp(jnp.asarray(pcd._scale[:, :2]))
+    rots = jnp.asarray(pcd._rot)
+    opac = jax.nn.sigmoid(jnp.asarray(pcd._opacity)[:, 0])
+
+    def render_fn(s):
+        return RS.rasterize_surfels(xyz, opac, s, scales=scales,
+                                    rotations=rots, colors_precomp=colors)
+
+    rc = render_dp.RenderCamera(
+        viewmatrix=jnp.stack([jnp.asarray(c.world_view_transform) for c in cams]),
+        projmatrix=jnp.stack([jnp.asarray(c.full_proj_transform) for c in cams]),
+        campos=jnp.stack([jnp.asarray(c.camera_center) for c in cams]),
+        intrinsics=jnp.stack([jnp.asarray(c.intrinsics) for c in cams]),
+        world_to_cam=jnp.stack([jnp.asarray(c.extrinsics) for c in cams]),
+    )
+    render = render_dp.make_dp_render_fn(mesh, settings, render_fn)
+    out = render(rc)
+    assert out["render"].shape == (8, 3, 32, 32)
+    for k in ("render", "rendered_depth_sum", "rendered_normal_view"):
+        assert np.isfinite(np.asarray(out[k])).all(), k

@@ -153,6 +153,7 @@ def _write_nerf_scene(path, num_cam=3, size=32, seed=3):
         _json.dumps({"camera_angle_x": float(cams[0].FoVx), "w": size,
                      "h": size, "frames": frames})
     )
+    return cams
 
 
 def test_gs_train_cli_resume(tmp_path):
@@ -170,44 +171,30 @@ def test_gs_train_cli_resume(tmp_path):
     ckpt = os.path.join(out, "ckpt", "step_10")
     assert os.path.isdir(ckpt)
 
-    _run_main(train_script, common + ["--iterations", "10",
-                                      "--resume", ckpt])
-    # resumed run exported a fresh iteration_10 ply
-    assert os.path.exists(os.path.join(out, "point_cloud", "iteration_10",
-                                       "point_cloud.ply"))
-
     from gaustudio_tpu.pipelines import train as T
     state = T.load_checkpoint(ckpt)
     assert int(state.step) == 10
+
+    # --iterations is the ABSOLUTE target: resuming from step 10 with a
+    # target of 20 runs exactly 10 more steps; checkpoints use absolute
+    # step names so nothing gets overwritten with mislabeled state
+    _run_main(train_script, common + ["--iterations", "20",
+                                      "--resume", ckpt,
+                                      "--checkpoint_every", "10"])
+    assert os.path.exists(os.path.join(out, "point_cloud", "iteration_20",
+                                       "point_cloud.ply"))
+    state2 = T.load_checkpoint(os.path.join(out, "ckpt", "step_20"))
+    assert int(state2.step) == 20
 
 
 def test_gs_train_cli_2dgs_smoke(tmp_path):
     """--config 2dgs routes to the SurfelTrainer; the exported ply must be
     a 2DGS checkpoint (scale_0/scale_1 only) that the renderers accept."""
-    import json as _json
-
-    from PIL import Image
-
     from gaustudio_tpu.scripts import train as train_script
     from gaustudio_tpu.utils.ply import read_ply
 
-    rng = np.random.default_rng(2)
     src = tmp_path / "scene"
-    (src / "train").mkdir(parents=True)
-    frames = []
-    cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=3,
-                                            image_size=32, fov_deg=50)
-    for i, cam in enumerate(cams):
-        img = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
-        Image.fromarray(img).save(src / "train" / f"r_{i}.png")
-        c2w = np.linalg.inv(cam.extrinsics)
-        c2w[:, 1:3] *= -1
-        frames.append({"file_path": f"./train/r_{i}",
-                       "transform_matrix": c2w.tolist()})
-    (src / "transforms_train.json").write_text(
-        _json.dumps({"camera_angle_x": float(cams[0].FoVx), "w": 32, "h": 32,
-                     "frames": frames})
-    )
+    cams = _write_nerf_scene(src, num_cam=3, seed=2)
     out = str(tmp_path / "out2d")
     _run_main(
         train_script,

@@ -294,8 +294,12 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
     jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
 
 
+_TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "16"))
+
+
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
-                     tiles_per_prog: int = 16, with_median: bool = True):
+                     tiles_per_prog: int = _TPP_DEFAULT,
+                     with_median: bool = True):
     """Run the tile compositor; returns packed [T, 16, 256] tile outputs
     (channel-major, pixels on lanes).
 

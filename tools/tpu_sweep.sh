@@ -32,10 +32,12 @@ run env GS_BWD_DOT3=1 python tools/tpu_grad_check.py
 run env GS_SELECT_DOT3=1 python tools/tpu_grad_check.py
 # 6. full metric set (render/surfel/train/mesh + parity gates)
 run python bench_all.py
-echo "SWEEP DONE" >> $log
 
 # 7. compositor supertiling A/B (GS_TILES_PER_PROG)
 run env GS_TILES_PER_PROG=2 python tools/tpu_parity_check.py
 run env GS_TILES_PER_PROG=2 python bench.py
+run env GS_TILES_PER_PROG=4 python tools/tpu_parity_check.py
 run env GS_TILES_PER_PROG=4 python bench.py
-echo "SWEEP DONE 2" >> $log
+
+# sentinel LAST: anything grepping for it must only match when all steps ran
+echo "SWEEP DONE" >> $log

@@ -256,6 +256,7 @@ def preprocess(
     means2d_offset=None,
     valid_mask=None,
     antialias: bool = False,
+    intrinsics=None,
 ) -> Preprocessed:
     """Full per-Gaussian preprocess; port of preprocessCUDA (forward.cu:156-256).
 
@@ -263,6 +264,15 @@ def preprocess(
     zero-valued ``screenspace_points`` input (gaustudio/renderers/base.py:13-17):
     gradients w.r.t. it are the screen-space position gradients that the
     densification heuristic accumulates.
+
+    ``intrinsics`` = (fx, fy, cx, cy) selects the gsplat-style projection
+    path (gaustudio/renderers/gsplat_renderer.py:38-66 / gsplat
+    project_gaussians): screen position fx*tx/tz + cx straight from camera
+    intrinsics — no ndc / projmatrix — with the EWA focal taken from fx/fy
+    and the fov clamp derived as tan_fov = 0.5*size/focal.  The -0.5 shift
+    maps gsplat's pixel-center convention onto this compositor's integer
+    pixel grid (cx = W/2 lands on (W-1)/2, identical to ndc2Pix).
+    ``tan_fovx/tan_fovy/projmatrix`` are ignored in this mode.
     """
     grid_x = (image_width + TILE_X - 1) // TILE_X
     grid_y = (image_height + TILE_Y - 1) // TILE_Y
@@ -271,23 +281,41 @@ def preprocess(
     depths = p_view[..., 2]
     in_front = depths > NEAR_CULL_Z
 
-    p_hom = transform_points(means3d, projmatrix)
-    # reference adds 1e-7 (rasterize CUDA); additionally keep the
-    # denominator away from 0 so culled rows near w=0 stay finite in the
-    # vjp (see the tz guard in compute_cov2d)
-    denom = p_hom[..., 3] + 1e-7
-    denom = jnp.where(denom >= 0.0, jnp.maximum(denom, 1e-4),
-                      jnp.minimum(denom, -1e-4))
-    p_w = 1.0 / denom
-    p_proj = p_hom[..., :3] * p_w[..., None]
-
     if cov3d_precomp is not None:
         cov3d = cov3d_precomp
     else:
         cov3d = build_cov3d(scales, scale_modifier, rotations)
 
-    focal_x = image_width / (2.0 * tan_fovx)
-    focal_y = image_height / (2.0 * tan_fovy)
+    if intrinsics is not None:
+        fx, fy, cx, cy = (intrinsics[i] for i in range(4))
+        focal_x, focal_y = fx, fy
+        tan_fovx = 0.5 * image_width / fx
+        tan_fovy = 0.5 * image_height / fy
+        # same signed-clamp guard as compute_cov2d: culled rows stay finite
+        tz_raw = depths
+        tz = jnp.where(tz_raw >= 0.0, jnp.maximum(tz_raw, NEAR_CULL_Z),
+                       jnp.minimum(tz_raw, -NEAR_CULL_Z))
+        mean2d_base = jnp.stack(
+            [focal_x * p_view[..., 0] / tz + cx - 0.5,
+             focal_y * p_view[..., 1] / tz + cy - 0.5], -1
+        )
+    else:
+        p_hom = transform_points(means3d, projmatrix)
+        # reference adds 1e-7 (rasterize CUDA); additionally keep the
+        # denominator away from 0 so culled rows near w=0 stay finite in
+        # the vjp (see the tz guard in compute_cov2d)
+        denom = p_hom[..., 3] + 1e-7
+        denom = jnp.where(denom >= 0.0, jnp.maximum(denom, 1e-4),
+                          jnp.minimum(denom, -1e-4))
+        p_w = 1.0 / denom
+        p_proj = p_hom[..., :3] * p_w[..., None]
+        focal_x = image_width / (2.0 * tan_fovx)
+        focal_y = image_height / (2.0 * tan_fovy)
+        mean2d_base = jnp.stack(
+            [ndc2pix(p_proj[..., 0], image_width),
+             ndc2pix(p_proj[..., 1], image_height)], -1
+        )
+
     cov2d = compute_cov2d(means3d, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, viewmatrix)
 
     det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
@@ -306,9 +334,7 @@ def preprocess(
     lambda2 = mid - disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, lambda2)))
 
-    mean2d = jnp.stack(
-        [ndc2pix(p_proj[..., 0], image_width), ndc2pix(p_proj[..., 1], image_height)], -1
-    )
+    mean2d = mean2d_base
     if means2d_offset is not None:
         mean2d = mean2d + means2d_offset
 

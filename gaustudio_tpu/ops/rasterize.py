@@ -56,6 +56,9 @@ class RasterizeSettings(NamedTuple):
     # pure inference paths (render scripts, benchmarks)
     with_median: bool = True
     need_grads: bool = True
+    # gsplat-style projection (gsplat_renderer.py:38-66): [fx, fy, cx, cy]
+    # pixel intrinsics replace the tanfov/projmatrix path in preprocess
+    intrinsics: Optional[jnp.ndarray] = None
 
 
 def rasterize(
@@ -127,6 +130,7 @@ def rasterize(
         scale_modifier=settings.scale_modifier,
         means2d_offset=pix_offset,
         valid_mask=valid_mask,
+        intrinsics=settings.intrinsics,
     )
 
     pre_sg = jax.tree.map(
@@ -260,6 +264,7 @@ def suggest_num_entries(
         rotations=rotations,
         cov3d_precomp=cov3D_precomp,
         scale_modifier=settings.scale_modifier,
+        intrinsics=settings.intrinsics,
     )
     total = int(binning.count_entries(pre.tiles_touched))
     cap = binning.bucket_capacity(int(total * margin), minimum)

@@ -97,3 +97,44 @@ def test_gsplat_antialiased_renderer():
     img_v = np.asarray(van.render(cam, big)["render"])
     img_g = np.asarray(gs.render(cam, big)["render"])
     assert np.abs(img_g - img_v).max() < 0.05
+
+
+def test_gsplat_intrinsics_projection_matches_tanfov():
+    """The gsplat intrinsics projection path (fx,fy,cx,cy from
+    camera.intrinsics -> gaussian.preprocess intrinsics mode) must agree
+    with the tanfov/projmatrix path, for centered AND off-center principal
+    points (ref gaustudio/renderers/gsplat_renderer.py:38-49)."""
+    rng = np.random.default_rng(3)
+    n = 60
+    pcd = models.make({"name": "vanilla_pcd"})
+    pcd.create_from_attribute(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32) * 0.3,
+        rgb=rng.uniform(0.2, 1.0, size=(n, 3)).astype(np.float32),
+    )
+    pcd.active_sh_degree = 0
+
+    van = renderers.make({"name": "vanilla_renderer"})
+    # isolate the projection mode: disable the other gsplat semantics
+    gs = renderers.make({"name": "gsplat_renderer", "antialias": False,
+                         "convert_SHs_python": False})
+
+    for ppx, ppy in [(0.5, 0.5), (0.62, 0.41)]:
+        cam = Camera(R=np.eye(3), T=np.array([0.0, 0.0, 3.0]), FoVx=1.0,
+                     FoVy=1.0, image_width=48, image_height=48,
+                     principal_point_ndc=(ppx, ppy))
+        img_v = np.asarray(van.render(cam, pcd)["render"])
+        img_g = np.asarray(gs.render(cam, pcd)["render"])
+        assert img_v.sum() > 1.0  # scene actually visible
+        np.testing.assert_allclose(img_g, img_v, atol=1e-4,
+                                   err_msg=f"pp=({ppx},{ppy})")
+
+    # the off-center pp must actually move the image (the intrinsics are
+    # not silently ignored)
+    cam_c = Camera(R=np.eye(3), T=np.array([0.0, 0.0, 3.0]), FoVx=1.0,
+                   FoVy=1.0, image_width=48, image_height=48)
+    cam_o = Camera(R=np.eye(3), T=np.array([0.0, 0.0, 3.0]), FoVx=1.0,
+                   FoVy=1.0, image_width=48, image_height=48,
+                   principal_point_ndc=(0.7, 0.5))
+    a = np.asarray(gs.render(cam_c, pcd)["render"])
+    b = np.asarray(gs.render(cam_o, pcd)["render"])
+    assert np.abs(a - b).max() > 1e-3

@@ -1,0 +1,241 @@
+"""At-scale on-chip training proof (VERDICT r2 item 4 / BASELINE config 5).
+
+Builds a textured-mesh multi-view capture (the same procedural scene
+family as tests/fixtures/mini_scene, scaled up: more subdivision, more
+views, 512px), renders ground truth with the repo's JAX mesh rasterizer,
+then trains a 3DGS model from a sparse surface init with FULL
+densification (clone/split/prune + opacity resets + SH warmup to degree
+3) and evaluates PSNR on held-out views the trainer never saw.
+
+Pass criteria (asserted):
+  * densification grows the model to >= 100k gaussians
+  * held-out PSNR >= 24
+Artifacts: metrics JSONL (every 50 iters) + summary JSON, committed under
+docs/runs/ so the quality claim is reproducible evidence, not prose.
+
+Usage (TPU): python tools/train_at_scale.py
+         [--size 512] [--views 64] [--iters 7000] [--out docs/runs/...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+from tools.make_fixture import color_fn, icosphere, box  # noqa: E402
+
+
+def scene_mesh_large():
+    """Richer variant of make_fixture.scene_mesh: finer sphere, two boxes,
+    and a ground slab so views contain occlusion + large flat regions."""
+    sv, sf = icosphere(4, radius=0.8)
+    r = 1.0 + 0.12 * np.sin(3.1 * sv[:, 0]) * np.cos(2.7 * sv[:, 1])
+    sv = sv * r[:, None]
+    parts = [(sv, sf)]
+    parts.append(box([0.85, -0.35, 0.15], [0.3, 0.3, 0.3]))
+    parts.append(box([-0.75, 0.45, -0.3], [0.22, 0.22, 0.22]))
+    parts.append(box([0.0, -1.15, 0.0], [1.6, 0.08, 1.6]))  # ground slab
+    verts = []
+    faces = []
+    off = 0
+    for v, f in parts:
+        verts.append(v)
+        faces.append(f + off)
+        off += len(v)
+    return (np.concatenate(verts).astype(np.float32),
+            np.concatenate(faces).astype(np.int32))
+
+
+def orbit_rings(size, views):
+    from gaustudio_tpu.cameras import camera_paths
+
+    per = views // 2
+    cams = camera_paths.get_path_from_orbit(
+        np.zeros(3), 3.2, elevation=12, num_cam=per, image_size=size,
+        fov_deg=55,
+    )
+    cams += camera_paths.get_path_from_orbit(
+        np.zeros(3), 3.2, elevation=38, num_cam=views - per, image_size=size,
+        fov_deg=55,
+    )
+    return cams
+
+
+def render_gt(verts, faces, cams):
+    import jax.numpy as jnp
+
+    from gaustudio_tpu.ops import mesh_raster as MR
+
+    vcol = color_fn(verts)
+    nrm = np.asarray(MR.face_normals(jnp.asarray(verts), jnp.asarray(faces)))
+    light = np.array([0.4, 0.5, 0.76], np.float32)
+    light /= np.linalg.norm(light)
+    lam = 0.35 + 0.65 * np.abs(nrm @ light)
+    images = []
+    for cam in cams:
+        frag = MR.rasterize_mesh(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.asarray(cam.world_view_transform),
+            jnp.asarray(cam.full_proj_transform),
+            int(cam.image_width), int(cam.image_height),
+            num_entries=1 << 19, chunk=2048,
+        )
+        col = np.asarray(MR.interpolate_attribute(frag, jnp.asarray(faces),
+                                                  jnp.asarray(vcol)))
+        tid = np.maximum(np.asarray(frag.tri_id), 0)
+        shade = np.where(np.asarray(frag.mask), lam[tid], 0.0)
+        images.append(np.clip(col * shade[..., None], 0, 1).astype(np.float32))
+    return images
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--holdout_every", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=7000)
+    ap.add_argument("--init_points", type=int, default=12000)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "runs", "r3_train_at_scale"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaustudio_tpu import models, renderers
+    from gaustudio_tpu.models.utils import inverse_sigmoid
+    from gaustudio_tpu.ops import ssim as ssim_ops
+    from gaustudio_tpu.pipelines import train as T
+    from gaustudio_tpu.utils.mesh import sample_mesh_surface
+
+    os.makedirs(args.out, exist_ok=True)
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+
+    t0 = time.perf_counter()
+    verts, faces = scene_mesh_large()
+    cams = orbit_rings(args.size, args.views)
+    images = render_gt(verts, faces, cams)
+    for cam, img in zip(cams, images):
+        cam.image = img
+    print(f"capture: {len(cams)} views {args.size}px, mesh "
+          f"{len(verts)}v/{len(faces)}f ({time.perf_counter()-t0:.1f}s)",
+          flush=True)
+
+    hold = list(range(0, len(cams), args.holdout_every))
+    train_cams = [c for i, c in enumerate(cams) if i not in hold]
+    test_cams = [cams[i] for i in hold]
+    print(f"split: {len(train_cams)} train / {len(test_cams)} held-out",
+          flush=True)
+
+    # sparse init: surface samples + noise, modest opacity
+    xyz = sample_mesh_surface(verts, faces, args.init_points, seed=3)
+    xyz = xyz + np.random.default_rng(5).normal(
+        size=xyz.shape).astype(np.float32) * 0.01
+    pcd = models.make({"name": "vanilla_pcd"})
+    pcd.create_from_attribute(
+        xyz=xyz, rgb=color_fn(xyz),
+        opacity=inverse_sigmoid(
+            np.full((args.init_points, 1), 0.1, np.float32)),
+    )
+    pcd.active_sh_degree = 0
+
+    class _DS(list):
+        cameras_extent = 3.5
+
+        def export(self, path):
+            pass
+
+    cfg = T.TrainConfig(
+        iterations=args.iters,
+        densify_from_iter=500,
+        densify_until_iter=int(args.iters * 0.8),
+        densification_interval=100,
+        densify_grad_threshold=0.0002,
+        opacity_reset_interval=3000,
+        sh_increase_interval=1000,
+        lr_xyz_init=0.00016 * 3.5,  # scaled by scene extent per Inria
+        lr_xyz_final=0.0000016 * 3.5,
+        lr_xyz_max_steps=args.iters,
+    )
+    trainer = T.Trainer(pcd, _DS(train_cams), cfg, capacity=1 << 17)
+
+    def eval_holdout():
+        settings = trainer._settings(trainer.num_entries)
+        vals = []
+        for cam in test_cams:
+            batch = trainer._batch(cam)
+            s = settings._replace(
+                viewmatrix=batch.viewmatrix, projmatrix=batch.projmatrix,
+                campos=batch.campos, bg=jnp.zeros(3),
+            )
+            out = T.render_from_params(
+                trainer.state.params, trainer.state.valid,
+                trainer.state.active_sh_degree, s,
+            )
+            vals.append(float(ssim_ops.psnr(out["render"], batch.gt_image)))
+        return float(np.mean(vals)), [round(v, 2) for v in vals]
+
+    psnr0, _ = eval_holdout()
+    print(f"held-out PSNR before: {psnr0:.2f}", flush=True)
+
+    t0 = time.perf_counter()
+    trainer.train(iterations=int(np.asarray(trainer.state.step)) + 1,
+                  log_every=1)
+    print(f"warmup (compile): {time.perf_counter()-t0:.1f}s", flush=True)
+
+    metrics_path = os.path.join(args.out, "metrics.jsonl")
+    curve = []
+    t0 = time.perf_counter()
+
+    def cb(m):
+        print(f"  iter {m['iter']:5d} loss {m['loss']:.4f} "
+              f"psnr {m['psnr']:.2f} pts {int(m['num_points'])} "
+              f"overflow {int(m.get('entry_overflow', 0))}", flush=True)
+
+    hist = trainer.train(iterations=args.iters, log_every=50,
+                         metrics_path=metrics_path, callback=None
+                         if args.iters > 2000 else cb)
+    train_s = time.perf_counter() - t0
+    ms_it = train_s / max(args.iters - 1, 1) * 1e3
+    for m in hist[::4]:
+        curve.append({"iter": m["iter"], "loss": round(m["loss"], 4),
+                      "train_psnr": round(m["psnr"], 2),
+                      "points": int(m["num_points"])})
+
+    psnr1, per_view = eval_holdout()
+    final_pts = int(np.asarray(trainer.state.num_points))
+    print(f"held-out PSNR after: {psnr1:.2f}  points {final_pts}  "
+          f"({ms_it:.1f} ms/it incl. densify/eval host work)", flush=True)
+
+    summary = {
+        "scene": "procedural textured mesh (icosphere+boxes+slab)",
+        "views_train": len(train_cams), "views_heldout": len(test_cams),
+        "size": args.size, "iters": args.iters,
+        "init_points": args.init_points, "final_points": final_pts,
+        "psnr_heldout_before": round(psnr0, 2),
+        "psnr_heldout_after": round(psnr1, 2),
+        "psnr_heldout_per_view": per_view,
+        "train_wall_s": round(train_s, 1),
+        "train_ms_per_iter": round(ms_it, 2),
+        "entry_capacity_final": trainer.num_entries,
+        "gaussian_capacity_final": int(trainer.state.valid.shape[0]),
+        "platform": jax.devices()[0].platform,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+    assert final_pts >= 100_000, f"densification stalled: {final_pts} pts"
+    assert psnr1 >= 24.0, f"held-out PSNR {psnr1} < 24"
+    print("AT-SCALE TRAIN OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

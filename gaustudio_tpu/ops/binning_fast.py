@@ -126,6 +126,17 @@ SELECT_DOT3 = __import__("os").environ.get("GS_SELECT_DOT3", "0") == "1"
 # restores bit-exact payloads.
 PACK_F16 = __import__("os").environ.get("GS_PACK_F16", "1") == "1"
 
+# Inference-path GEOMETRY packing (two more operands fewer): means are
+# stored TILE-RELATIVE (dx = mx - 16*tx, so f16's 11-bit mantissa gives
+# sub-0.01px steps for small splats and <=1px only where sigma is huge
+# and alpha varies slowly) and (conic_a, conic_b) ride one operand scaled
+# by 2^14 (conic range [1e-6, 3.4] maps into f16 normals). Bounded alpha
+# error ~ |power| * 2^-11 < 0.6%; image parity stays within the 8-bit
+# tolerance (tools/tpu_parity_check.py gates the default).
+PACK_GEO = __import__("os").environ.get("GS_PACK_GEO", "1") == "1"
+_CONIC_SCALE = 16384.0  # 2^14
+_DXY_CLAMP = 32768.0  # beyond this alpha is provably < 1/255; avoids f16 inf
+
 
 def _pack2_f16(lo, hi):
     """Pack two f32 rows into one int32 row as (hi<<16)|lo f16 bit pairs.
@@ -639,7 +650,26 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     # output color by < 2.5e-4 — inference-only because the grad-parity
     # harness holds Pallas vs XLA backward to ~3e-6.
     pack_f16 = PACK_F16 and not carry_slot
-    if pack_f16:
+    pack_geo = pack_f16 and PACK_GEO
+    if pack_geo:
+        # tile-relative means + scaled conic pairs: 6 payload operands.
+        # tile row is exact integer-valued f32 (< 2^24); culled entries
+        # (tile == num_tiles) unpack to garbage attrs but sort to the end
+        # and are excluded from every tile range.
+        tyf = jnp.floor(expanded_t[13] / jnp.float32(grid_x))
+        txf = expanded_t[13] - tyf * grid_x
+        dx = jnp.clip(expanded_t[0] - 16.0 * txf, -_DXY_CLAMP, _DXY_CLAMP)
+        dy = jnp.clip(expanded_t[1] - 16.0 * tyf, -_DXY_CLAMP, _DXY_CLAMP)
+        cols = (
+            _pack2_f16(dx, dy),
+            _pack2_f16(expanded_t[2] * _CONIC_SCALE,
+                       expanded_t[3] * _CONIC_SCALE),
+            expanded_t[4],
+            expanded_t[9],
+            _pack2_f16(expanded_t[6], expanded_t[7]),
+            _pack2_f16(expanded_t[8], expanded_t[5]),
+        )
+    elif pack_f16:
         cols = tuple(expanded_t[a] for a in range(5)) + (
             expanded_t[9],
             _pack2_f16(expanded_t[6], expanded_t[7]),
@@ -656,7 +686,21 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     sort_tile = sorted_ops[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
-    if pack_f16:
+    if pack_geo:
+        tile_f = sort_tile.astype(jnp.float32)
+        tyf = jnp.floor(tile_f / jnp.float32(grid_x))
+        txf = tile_f - tyf * grid_x
+        dx_row, dy_row = _unpack2_f16(sorted_ops[1])
+        ca_row, cb_row = _unpack2_f16(sorted_ops[2])
+        r_row, g_row = _unpack2_f16(sorted_ops[5])
+        b_row, op_row = _unpack2_f16(sorted_ops[6])
+        attr_rows = [
+            dx_row + 16.0 * txf, dy_row + 16.0 * tyf,
+            ca_row * (1.0 / _CONIC_SCALE), cb_row * (1.0 / _CONIC_SCALE),
+            sorted_ops[3],
+            op_row, r_row, g_row, b_row, sorted_ops[4],
+        ]
+    elif pack_f16:
         r_row, g_row = _unpack2_f16(sorted_ops[7])
         b_row, op_row = _unpack2_f16(sorted_ops[8])
         attr_rows = list(sorted_ops[1:6]) + [

@@ -267,6 +267,7 @@ def test_pack_f16_inference_close(preprocessed, monkeypatch):
     differ from the exact pipeline only by f16 rounding (~2^-12 relative —
     far below the 1/255 8-bit output quantum)."""
     monkeypatch.setattr(binning_fast, "PACK_F16", True)
+    monkeypatch.setattr(binning_fast, "PACK_GEO", False)
     pre, st = preprocessed
     gx = (st.image_width + 15) // 16
     gy = (st.image_height + 15) // 16
@@ -298,10 +299,49 @@ def test_pack_f16_inference_close(preprocessed, monkeypatch):
     np.testing.assert_allclose(
         lean_np[:, 7], full_np[:, 7], atol=2.5e-3, rtol=0
     )
-    # entry geometry (tile runs) is unaffected by payload packing
-    np.testing.assert_array_equal(
-        np.asarray(lean_bin.tile_count), np.asarray(full_bin.tile_count)
+
+
+def test_pack_geo_inference_close(preprocessed, monkeypatch):
+    """GS_PACK_GEO additionally packs tile-relative means and scaled
+    (conic_a, conic_b) pairs (6 payload operands). Bounded alpha error
+    ~ |power| * 2^-11: composited color/depth/opacity must stay well
+    inside the 8-bit output quantum vs the bit-exact pipeline."""
+    monkeypatch.setattr(binning_fast, "PACK_F16", False)
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    def run_lean():
+        with _interp():
+            b = jax.jit(
+                lambda p: binning_fast.bin_gaussians_fast(
+                    p, gx, gy, 4096, carry_gid=False, carry_slot=False
+                )
+            )(pre)
+            return np.asarray(jax.jit(
+                lambda bb: rasterize_pallas.composite_pallas(
+                    bb, gx, gy, with_median=False
+                )
+            )(b))
+
+    exact = run_lean()
+    monkeypatch.setattr(binning_fast, "PACK_F16", True)
+    monkeypatch.setattr(binning_fast, "PACK_GEO", True)
+    packed = run_lean()
+    # color (0:3) + final_T (7): < ~1.5 8-bit quanta; depth (3) is
+    # value-scaled (alpha error ~0.5% scales with the depth accumulator)
+    np.testing.assert_allclose(
+        packed[:, 0:3], exact[:, 0:3], atol=6e-3, rtol=0
     )
+    # depth: value-scaled, plus rare (<0.2%) alpha-threshold flips on
+    # low-coverage pixels (an entry crossing the 1/255 skip boundary)
+    d_err = np.abs(packed[:, 3] - exact[:, 3])
+    d_tol = 6e-3 + 7e-3 * np.abs(exact[:, 3])
+    assert np.mean(d_err > d_tol) < 2e-3
+    assert d_err.max() < 0.05
+    np.testing.assert_allclose(packed[:, 7], exact[:, 7], atol=6e-3, rtol=0)
+    # bulk error far smaller: mean abs deviation below a tenth of a quantum
+    assert np.mean(np.abs(packed[:, 0:3] - exact[:, 0:3])) < 4e-4
 
 
 def test_train_mode_grads_match_full(preprocessed):

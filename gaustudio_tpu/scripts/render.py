@@ -97,6 +97,8 @@ def main():
         opacity = np.asarray(out["rendered_final_opacity"][0])
         rgb = np.where((opacity >= 0.5)[..., None], rgb, 0.0)
         name = camera.image_name or f"frame_{i:05d}"
+        if name.lower().endswith((".png", ".jpg", ".jpeg")):
+            name = os.path.splitext(name)[0]
         save_image(os.path.join(render_path, f"{name}.png"), rgb)
         frames.append(np.clip(rgb * 255, 0, 255).astype(np.uint8))
 

@@ -64,6 +64,7 @@ def bench_render():
         bg=jnp.zeros(3, jnp.float32), viewmatrix=jnp.asarray(view),
         projmatrix=jnp.asarray(proj), campos=jnp.asarray(campos),
         num_entries=0, chunk=4096,
+        need_grads=False,  # measure the inference pipeline, like bench.py
     )
     cap = rast.suggest_num_entries(args[0], args[3], st, scales=args[1],
                                    rotations=args[2], margin=1.1)

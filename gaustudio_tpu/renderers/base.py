@@ -27,6 +27,7 @@ class BaseRenderer:
     def __init__(self, config=None):
         self.config = {**self.default_conf, **(config or {})}
         self._capacity_cache: Dict[Tuple[int, int], int] = {}
+        self._jit_cache: Dict = {}
 
     # subclasses provide get_gaussians_properties(camera, model)
 
@@ -74,6 +75,55 @@ class BaseRenderer:
         self._capacity_cache[key] = cap
         return cap
 
+    def _render_jitted(self, settings, xyz, opacity, shs, colors_precomp,
+                       scales, rotations, cov3D_precomp, means2D_offset,
+                       active_deg):
+        """One fused jit per (static settings, arg-structure) key.
+
+        The un-jitted rasterize pipeline dispatches hundreds of individual
+        XLA ops; on a relay-attached TPU each dispatch costs ~4-6 ms, so a
+        single 1080p view took seconds (bench_all's extract-mesh measured
+        43 s/view). Array-valued settings fields (view/proj/campos/bg/
+        intrinsics) become traced arguments so one compile serves every
+        camera at a given resolution; the static remainder of
+        RasterizeSettings keys the cache.
+        """
+        import jax
+
+        active_key = None if active_deg is None else int(active_deg)
+        key = (
+            settings._replace(bg=None, viewmatrix=None, projmatrix=None,
+                              campos=None,
+                              intrinsics=settings.intrinsics is not None),
+            shs is None, colors_precomp is None, scales is None,
+            cov3D_precomp is None, active_key,
+        )
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            template = key[0]
+
+            @jax.jit
+            def fn(xyz, opacity, shs, colors_precomp, scales, rotations,
+                   cov3D_precomp, means2D_offset, view, proj, campos, bg,
+                   intr):
+                st = template._replace(
+                    viewmatrix=view, projmatrix=proj, campos=campos, bg=bg,
+                    intrinsics=intr,
+                )
+                return rast.rasterize(
+                    xyz, opacity, st, shs=shs,
+                    colors_precomp=colors_precomp, scales=scales,
+                    rotations=rotations, cov3D_precomp=cov3D_precomp,
+                    means2D_offset=means2D_offset,
+                    active_sh_degree=active_key,
+                )
+
+            self._jit_cache[key] = fn
+        return fn(xyz, opacity, shs, colors_precomp, scales, rotations,
+                  cov3D_precomp, means2D_offset, settings.viewmatrix,
+                  settings.projmatrix, settings.campos, settings.bg,
+                  settings.intrinsics)
+
     def render(self, viewpoint_camera, gaussian_model, means2D_offset=None):
         """Port of renderers/base.py:10-63."""
         (xyz, shs, colors_precomp, opacity, scales, rotations, cov3D_precomp) = (
@@ -90,18 +140,10 @@ class BaseRenderer:
             means2D_offset = jnp.zeros((xyz.shape[0], 2), jnp.float32)
 
         active_deg = getattr(gaussian_model, "active_sh_degree", None)
-        out = rast.rasterize(
-            xyz,
-            opacity,
-            settings,
-            shs=shs,
-            colors_precomp=colors_precomp,
-            scales=scales,
-            rotations=rotations,
-            cov3D_precomp=cov3D_precomp,
-            means2D_offset=means2D_offset,
-            active_sh_degree=active_deg if shs is not None else None,
-        )
+        out = self._render_jitted(settings, xyz, opacity, shs, colors_precomp,
+                                  scales, rotations, cov3D_precomp,
+                                  means2D_offset,
+                                  active_deg if shs is not None else None)
 
         # grow capacity for future frames if this one overflowed
         try:

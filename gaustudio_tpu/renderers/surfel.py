@@ -78,13 +78,35 @@ class SurfelRenderer(BaseRenderer):
         if means2D_offset is None:
             means2D_offset = jnp.zeros((xyz.shape[0], 2), jnp.float32)
 
-        out = rasterize_surfel.rasterize_surfels(
-            xyz, opacity, settings, scales=scales, rotations=rotations,
-            shs=shs, colors_precomp=colors_precomp,
-            means2D_offset=means2D_offset,
-            active_sh_degree=getattr(gaussian_model, "active_sh_degree", None)
-            if shs is not None else None,
-        )
+        active_deg = (getattr(gaussian_model, "active_sh_degree", None)
+                      if shs is not None else None)
+        active_key = None if active_deg is None else int(active_deg)
+        # one fused jit per static-settings key (see BaseRenderer._render_jitted:
+        # eager dispatch costs seconds/view on a relay-attached TPU)
+        key = ("surfel",
+               settings._replace(bg=None, viewmatrix=None, projmatrix=None,
+                                 campos=None),
+               shs is None, colors_precomp is None, active_key)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            template = key[1]
+
+            @jax.jit
+            def fn(xyz, opacity, scales, rotations, shs, colors_precomp,
+                   means2D_offset, view, proj, campos, bg):
+                st = template._replace(viewmatrix=view, projmatrix=proj,
+                                       campos=campos, bg=bg)
+                return rasterize_surfel.rasterize_surfels(
+                    xyz, opacity, st, scales=scales, rotations=rotations,
+                    shs=shs, colors_precomp=colors_precomp,
+                    means2D_offset=means2D_offset,
+                    active_sh_degree=active_key,
+                )
+
+            self._jit_cache[key] = fn
+        out = fn(xyz, opacity, scales, rotations, shs, colors_precomp,
+                 means2D_offset, settings.viewmatrix, settings.projmatrix,
+                 settings.campos, settings.bg)
 
         alpha = out["rendered_alpha"]
         depth_expected = jnp.nan_to_num(

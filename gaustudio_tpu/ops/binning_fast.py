@@ -4,8 +4,9 @@ Replaces binning.bin_gaussians' searchsorted/gather pipeline (which hits
 XLA-TPU's slow gather lowering: ~600ms searchsorted + ~300ms gathers at
 1080p) with bandwidth-friendly primitives only:
 
-  1. gaussians are argsorted by (invalid, depth) and compacted so every
-     surviving gaussian owns >= 1 entry slot (depth-major expansion order);
+  1. entry slots are allocated IN PREPROCESS ORDER (no gaussian-level
+     sort): every gaussian owns >= 1 slot (zero-tile/culled ones get a
+     single valid=0 slot) so the expand window invariant holds;
   2. per-256-slot-block window anchors come from a Pallas boundary scan
      over ceil(starts/256) (no searchsorted, no K-sized scatter);
   3. a *fused expand* Pallas kernel recovers the slot->gaussian map from
@@ -14,10 +15,13 @@ XLA-TPU's slow gather lowering: ~600ms searchsorted + ~300ms gathers at
      over each block's contiguous <=384-lane table window (no random
      gather), computes each entry's tile id, and applies the exact
      ellipse/tile cull — all in one pass over [16, K];
-  4. one stable (tile,) sort carries the attribute rows as payload
+  4. one 2-key (tile, depth) sort carries the attribute rows as payload
      operands (XLA variadic sort is bandwidth-efficient; random scatters are
      ~10x slower on TPU), yielding a contiguous (tile, depth)-ordered entry
      stream realigned to 256-aligned per-tile runs [NB_AL, 16, 256].
+     Depth ordering comes from the second sort key — the old design's
+     16-operand compact-by-depth gaussian sort bought only single-key
+     stability and was pure overhead.
 
 Entry attribute rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
 6:r 7:g 8:b 9:depth 10:gaussian_id 11:valid 12:slot 13-15:pad.
@@ -119,7 +123,9 @@ _FE_ROWS = 16  # fused-expand output rows (vanilla layout)
 # are re-rounded after the select (plane-sum residual < 2^-24·|x| < 0.5
 # for table indices < 2^24). Flip only with on-chip parity
 # (tools/tpu_parity_check.py) re-verified.
-SELECT_DOT3 = __import__("os").environ.get("GS_SELECT_DOT3", "0") == "1"
+# Default ON since round 3: on-chip parity + grad parity clean, +3.8%
+# headline (docs/runs/r3_sweep.md). GS_SELECT_DOT3=0 restores HIGHEST f32.
+SELECT_DOT3 = __import__("os").environ.get("GS_SELECT_DOT3", "1") == "1"
 
 # Inference-path f16 payload packing (two sort operands fewer; ~2^-12
 # relative color rounding, invisible at 8-bit output). GS_PACK_F16=0
@@ -567,45 +573,39 @@ def _tile_max_alpha_keep(mx, my, a, b, c, op, tx, ty):
 
 def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
                        num_entries: int, carry_gid: bool = True,
-                       carry_slot: bool = True) -> BinnedBlocks:
+                       carry_slot: bool = True,
+                       realign: bool = True) -> BinnedBlocks:
     """Build the block-aligned sorted entry layout (see module docstring)."""
     n = pre.depths.shape[0]
     num_tiles = grid_x * grid_y
     K = num_entries
     assert K % BLOCK == 0
 
-    # 1. compact by (invalid, depth) with ONE payload sort (at N gaussians a
-    # payload operand costs ~0.3ms vs ~1ms per random-gather column)
-    invalid = pre.valid.astype(jnp.int32) ^ 1
+    # 1. slot allocation IN PREPROCESS ORDER. Depth ordering is enforced by
+    # the entry sort's second key instead of a gaussian-level compact sort
+    # (which carried 16 payload operands at N just to make the tile sort
+    # single-key stable — the 2-key sort moves the same bytes, so the
+    # compact sort was pure overhead). The fused-expand window invariant
+    # (every owner holds >= 1 slot) is kept by allocating one slot even to
+    # culled / zero-tile gaussians; their single entry carries valid=0 and
+    # sorts to the tail with the num_tiles key.
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    sorted_g = jax.lax.sort(
-        (
-            invalid, pre.depths,
-            pre.means2d[:, 0], pre.means2d[:, 1],
-            pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
-            pre.opacities,
-            pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
-            jnp.arange(n, dtype=jnp.float32),
-            pre.tiles_touched.astype(jnp.int32),
-            pre.rect_min[:, 0].astype(jnp.float32),
-            pre.rect_min[:, 1].astype(jnp.float32),
-            rect_w.astype(jnp.float32),
-        ),
-        num_keys=2, is_stable=True,
-    )
-    inv_s, dep_s = sorted_g[0], sorted_g[1]
-    tiles_c = sorted_g[12]
-    valid_s = (inv_s == 0).astype(jnp.float32)
+    tiles_t = pre.tiles_touched.astype(jnp.int32)
+    valid_g = pre.valid & (tiles_t > 0)
+    tiles_alloc = jnp.maximum(tiles_t, 1)
+    valid_s = valid_g.astype(jnp.float32)
+    dep_s = pre.depths
+    iota_f = jnp.arange(n, dtype=jnp.float32)
 
-    # 2. entry-slot geometry: exclusive cumsum of per-gaussian entry counts
+    # 2. entry-slot geometry: exclusive cumsum of per-gaussian slot counts
     # (blocked MXU cumsum: jnp.cumsum at 2.2M costs ~3.2ms on XLA-TPU, the
     # two-level matmul scan ~0.3ms; exact in f32 for counts < 2^24), plus
     # per-256-block window anchors block_lo[b] = (owner of slot 256*b) via
     # the Pallas boundary scan over ceil(starts/256) — NO K-sized marker
     # scatter or second cumsum; the full slot->gaussian map is recovered
     # inside the fused expand kernel from the starts row itself.
-    starts = _blocked_cumsum(tiles_c).astype(jnp.int32)  # exclusive
-    total = starts[-1] + tiles_c[-1]
+    starts = _blocked_cumsum(tiles_alloc).astype(jnp.int32)  # exclusive
+    total = starts[-1] + tiles_alloc[-1]
     block_lo = block_lo_from_starts(starts, K)
 
     # 3. fused expand: one Pallas pass selects per-slot attributes, computes
@@ -619,12 +619,16 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     # 14:rect_min_y 15:rect_w 16:iota.
     table = expand_table(
         [
-            sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5], sorted_g[6],
-            sorted_g[7], sorted_g[8], sorted_g[9], sorted_g[10],
-            dep_s, sorted_g[11], valid_s,
+            pre.means2d[:, 0], pre.means2d[:, 1],
+            pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
+            pre.opacities,
+            pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
+            dep_s, iota_f, valid_s,
             starts.astype(jnp.float32),
-            sorted_g[13], sorted_g[14], sorted_g[15],
-            jnp.arange(n, dtype=jnp.float32),
+            pre.rect_min[:, 0].astype(jnp.float32),
+            pre.rect_min[:, 1].astype(jnp.float32),
+            rect_w.astype(jnp.float32),
+            iota_f,
         ]
     )
     expanded_t = fused_expand(table, block_lo, total, grid_x, num_tiles,
@@ -665,50 +669,53 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
             _pack2_f16(expanded_t[2] * _CONIC_SCALE,
                        expanded_t[3] * _CONIC_SCALE),
             expanded_t[4],
-            expanded_t[9],
             _pack2_f16(expanded_t[6], expanded_t[7]),
             _pack2_f16(expanded_t[8], expanded_t[5]),
         )
     elif pack_f16:
         cols = tuple(expanded_t[a] for a in range(5)) + (
-            expanded_t[9],
             _pack2_f16(expanded_t[6], expanded_t[7]),
             _pack2_f16(expanded_t[8], expanded_t[5]),
         )
     else:
-        cols = tuple(expanded_t[a] for a in range(10))
+        cols = tuple(expanded_t[a] for a in range(9))
     n_attr_ops = len(cols)
     if carry_gid:
         cols = cols + (expanded_t[10],)
     if carry_slot:
         cols = cols + (slot.astype(jnp.float32),)
-    sorted_ops = jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
+    # 2-key (tile, depth) sort: depth order comes from the second key, not
+    # from a pre-sorted gaussian order, so depth doubles as the depth
+    # attribute row and stability is not load-bearing
+    sorted_ops = jax.lax.sort((tile, expanded_t[9]) + cols, num_keys=2,
+                              is_stable=False)
     sort_tile = sorted_ops[0]
+    dep_row = sorted_ops[1]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
     if pack_geo:
         tile_f = sort_tile.astype(jnp.float32)
         tyf = jnp.floor(tile_f / jnp.float32(grid_x))
         txf = tile_f - tyf * grid_x
-        dx_row, dy_row = _unpack2_f16(sorted_ops[1])
-        ca_row, cb_row = _unpack2_f16(sorted_ops[2])
+        dx_row, dy_row = _unpack2_f16(sorted_ops[2])
+        ca_row, cb_row = _unpack2_f16(sorted_ops[3])
         r_row, g_row = _unpack2_f16(sorted_ops[5])
         b_row, op_row = _unpack2_f16(sorted_ops[6])
         attr_rows = [
             dx_row + 16.0 * txf, dy_row + 16.0 * tyf,
             ca_row * (1.0 / _CONIC_SCALE), cb_row * (1.0 / _CONIC_SCALE),
-            sorted_ops[3],
-            op_row, r_row, g_row, b_row, sorted_ops[4],
+            sorted_ops[4],
+            op_row, r_row, g_row, b_row, dep_row,
         ]
     elif pack_f16:
         r_row, g_row = _unpack2_f16(sorted_ops[7])
         b_row, op_row = _unpack2_f16(sorted_ops[8])
-        attr_rows = list(sorted_ops[1:6]) + [
-            op_row, r_row, g_row, b_row, sorted_ops[6],
+        attr_rows = list(sorted_ops[2:7]) + [
+            op_row, r_row, g_row, b_row, dep_row,
         ]
     else:
-        attr_rows = list(sorted_ops[1:11])
-    nxt = 1 + n_attr_ops
+        attr_rows = list(sorted_ops[2:11]) + [dep_row]
+    nxt = 2 + n_attr_ops
     if carry_gid:
         gid_row = sorted_ops[nxt]
         nxt += 1
@@ -728,20 +735,26 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     tile_start = pos[:num_tiles]
     tile_count = pos[1:] - pos[:-1]
 
-    # 5. realign every tile's run to a 256-multiple start (see realign_runs)
-    nb_al = aligned_capacity(K, num_tiles)
-    abpt = (tile_count + BLOCK - 1) // BLOCK  # aligned blocks per tile
-    ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
-    # dest block -> owning tile: marker scatter + cumsum over [nb_al]
-    # (ties from empty tiles resolve to the last = the real owner)
-    bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(
-        1, mode="drop"
-    )
-    blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
-    blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
-    src_lo = tile_start[blk_tile] + blk_k * BLOCK
-    vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
-    aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+    # 5. realign every tile's run to a 256-multiple start (see realign_runs).
+    # The flat-mode compositor (inference) rolls runs into place in-kernel,
+    # so callers that never run the backward skip this pass entirely.
+    if realign:
+        nb_al = aligned_capacity(K, num_tiles)
+        abpt = (tile_count + BLOCK - 1) // BLOCK  # aligned blocks per tile
+        ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
+        # dest block -> owning tile: marker scatter + cumsum over [nb_al]
+        # (ties from empty tiles resolve to the last = the real owner)
+        bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(
+            1, mode="drop"
+        )
+        blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
+        blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
+        src_lo = tile_start[blk_tile] + blk_k * BLOCK
+        vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
+        aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+    else:
+        ablock_start = jnp.zeros_like(tile_start)
+        aligned_blocks = jnp.zeros((0, NUM_ATTRS, BLOCK), jnp.float32)
 
     return BinnedBlocks(
         flat_entries=flat_entries,
@@ -752,7 +765,7 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         sorted_tile=sort_tile,
         num_rendered=total,
         slot_gauss=g.astype(jnp.int32),
-        compact_gid=sorted_g[11].astype(jnp.int32),
+        compact_gid=jnp.arange(n, dtype=jnp.int32),  # preprocess order
     )
 
 

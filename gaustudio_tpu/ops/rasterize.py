@@ -150,6 +150,7 @@ def rasterize(
         binned_fast = binning_fast.bin_gaussians_fast(
             pre_sg, grid_x, grid_y, settings.num_entries,
             carry_gid=settings.with_median, carry_slot=settings.need_grads,
+            realign=settings.need_grads,  # inference composites from flat
         )
         out = rasterize_pallas.composite_fast(
             grid_x, grid_y, settings.chunk, settings.with_median,
@@ -266,7 +267,10 @@ def suggest_num_entries(
         scale_modifier=settings.scale_modifier,
         intrinsics=settings.intrinsics,
     )
-    total = int(binning.count_entries(pre.tiles_touched))
+    # +1-slot floor per gaussian: the fast binning allocates one slot even
+    # to culled / zero-tile gaussians (expand-window invariant), so the
+    # bucket must cover sum(max(tiles, 1)), not just the intersection count
+    total = int(jnp.sum(jnp.maximum(pre.tiles_touched, 1)))
     cap = binning.bucket_capacity(int(total * margin), minimum)
     return cap
 

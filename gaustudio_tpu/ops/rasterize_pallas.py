@@ -88,9 +88,24 @@ def _power_dot3(mxl, myl, ca, cb, cc, G):
     return _dot3_matmul(F, G)
 
 
+_FLAT_WIN = 4 * 128  # flat-mode window lanes: 256-entry block at any
+# 128-misaligned offset, plus slack so the end-of-table clamp keeps
+# off + 256 <= window (K is a 256-multiple)
+
+
 def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int,
-                      with_median: bool = True):
+                      with_median: bool = True, flat_mode: bool = False,
+                      k_total: int = 0):
+    """Tile compositor.
+
+    Aligned mode (default): consumes realigned [NB, 16, 256] blocks.
+    Flat mode (inference): reads 512-lane windows of the flat sorted
+    entry table [16, K] directly and rolls each tile-run block into
+    place in-kernel — the realign pass (and its 75%-padded aligned-blocks
+    array) never materializes. ``ablock_ref`` then carries tile_start
+    (flat entry offsets) instead of aligned block indices.
+    """
     g = pl.program_id(0)
     # entries on sublanes: per-entry masks are (BLOCK, 1) columns
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
@@ -112,14 +127,26 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
     def tile_meta(t):
         return ablock_ref[t], (count_ref[t] + BLOCK - 1) // BLOCK
 
+    def flat_anchor(b0, blk_idx):
+        src = b0 + blk_idx * BLOCK
+        return jnp.minimum(src // 128, (k_total - _FLAT_WIN) // 128) * 128
+
+    def block_dma(b0, blk_idx, slot):
+        if flat_mode:
+            return pltpu.make_async_copy(
+                blocks_hbm.at[:, pl.ds(flat_anchor(b0, blk_idx), _FLAT_WIN)],
+                scratch.at[slot], sems.at[slot],
+            )
+        return pltpu.make_async_copy(
+            blocks_hbm.at[b0 + blk_idx], scratch.at[slot], sems.at[slot]
+        )
+
     def start_first_dma(i, t):
         b0, nb = tile_meta(t)
 
         @pl.when(nb > 0)
         def _():
-            pltpu.make_async_copy(
-                blocks_hbm.at[b0], scratch.at[2 + i % 2], sems.at[2 + i % 2]
-            ).start()
+            block_dma(b0, 0, 2 + i % 2).start()
 
     start_first_dma(0, g * tiles_per_prog)
 
@@ -138,11 +165,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         py = ty * TILE_Y + qy
 
         def get_dma(slot, blk_idx):
-            return pltpu.make_async_copy(
-                blocks_hbm.at[b0 + blk_idx],
-                scratch.at[slot],
-                sems.at[slot],
-            )
+            return block_dma(b0, blk_idx, slot)
 
         row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
         init = (
@@ -170,7 +193,16 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             cost proportionally less VPU time)."""
             T, r, gg, b, d, md, mw, mi, nc = carry
             sub = subl[:rows]
-            blk = scratch[slot][:, :rows].T  # (16, rows) -> (rows, 16)
+            if flat_mode:
+                # roll the 512-lane window so the run's block starts at
+                # lane 0 (the in-kernel equivalent of the realign pass)
+                off = b0 + c * BLOCK - flat_anchor(b0, c)
+                rolled = pltpu.roll(
+                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
+                )
+                blk = rolled[:, :rows].T  # (16, rows) -> (rows, 16)
+            else:
+                blk = scratch[slot][:, :rows].T  # (16, rows) -> (rows, 16)
 
             mx = blk[:, 0:1]
             my = blk[:, 1:2]
@@ -195,12 +227,13 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
             pos = c * BLOCK + sub  # position within the (aligned) tile run
-            # realign zeroes padding rows (vld = 0), so no in_range test
-            alpha = jnp.where(
-                (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5),
-                0.0,
-                alpha,
-            )
+            # aligned mode: realign zeroes padding rows (vld = 0); flat
+            # mode: rows past the run's end hold the NEXT tile's (valid)
+            # entries, so mask by the true count explicitly
+            dead = (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5)
+            if flat_mode:
+                dead = dead | (pos >= count)
+            alpha = jnp.where(dead, 0.0, alpha)
 
             # sublane-axis (entry-axis) inclusive prefix product
             cum = 1.0 - alpha
@@ -294,23 +327,29 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
     jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
 
 
-_TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "16"))
+# 8 tiles/program measured best on v5e (r3 sweep: 8 > 4 > 16 > 2 > 1)
+_TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "8"))
 
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
                      tiles_per_prog: int = _TPP_DEFAULT,
-                     with_median: bool = True):
+                     with_median: bool = True, use_flat: bool = False):
     """Run the tile compositor; returns packed [T, 16, 256] tile outputs
     (channel-major, pixels on lanes).
 
     Each program handles ``tiles_per_prog`` tiles to amortize the fixed
-    per-program cost.
+    per-program cost. ``use_flat`` composites straight from the flat
+    sorted entry table with an in-kernel roll (inference fast path — no
+    realign pass, no aligned-blocks array).
     """
     num_tiles = grid_x * grid_y
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
     pad = padded - num_tiles
-    ablock_start = jnp.pad(binned.ablock_start, (0, pad))
+    start = binned.tile_start if use_flat else binned.ablock_start
+    ablock_start = jnp.pad(start, (0, pad))
     tile_count = jnp.pad(binned.tile_count, (0, pad))
+    k_total = binned.flat_entries.shape[1]
+    win = _FLAT_WIN if use_flat else BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(padded // tiles_per_prog,),
@@ -319,12 +358,14 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
             (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, NUM_ATTRS, BLOCK), jnp.float32),
+            pltpu.VMEM((4, NUM_ATTRS, win), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = partial(_composite_kernel, grid_x=grid_x,
-                     tiles_per_prog=tiles_per_prog, with_median=with_median)
+                     tiles_per_prog=tiles_per_prog, with_median=with_median,
+                     flat_mode=use_flat, k_total=k_total)
+    data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
@@ -335,7 +376,7 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(ablock_start, tile_count, binned.aligned_blocks)
+    )(ablock_start, tile_count, data)
     return out[:num_tiles]
 
 
@@ -384,7 +425,8 @@ def composite_fast(grid_x, grid_y, chunk, with_median, need_grads, means2d,
     ``with_median=False`` skips the median-depth trio in-kernel (the
     training loss never reads it); those outputs keep their defaults.
     """
-    packed = composite_pallas(binned, grid_x, grid_y, with_median=with_median)
+    packed = composite_pallas(binned, grid_x, grid_y, with_median=with_median,
+                              use_flat=not need_grads)
     return _packed_to_tilemajor(packed, grid_x * grid_y)
 
 

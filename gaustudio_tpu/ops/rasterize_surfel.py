@@ -451,7 +451,8 @@ def rasterize_surfels(
                 ),
             )
             bf = binning_fast.bin_gaussians_fast(
-                pre_fast, grid_x, grid_y, settings.num_entries
+                pre_fast, grid_x, grid_y, settings.num_entries,
+                realign=False,  # only compat_arrays are consumed
             )
             gid, tile, valid_e, tile_start = binning_fast.compat_arrays(
                 bf, grid_x, grid_y

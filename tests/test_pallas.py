@@ -301,6 +301,29 @@ def test_pack_f16_inference_close(preprocessed, monkeypatch):
     )
 
 
+def test_flat_mode_matches_aligned(preprocessed, monkeypatch):
+    """The direct-from-flat compositor (inference: in-kernel roll, no
+    realign pass) must be bit-identical to the aligned-blocks path — same
+    entries, same order, same arithmetic."""
+    monkeypatch.setattr(binning_fast, "PACK_F16", False)
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+    with _interp():
+        b = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, gx, gy, 4096)
+        )(pre)
+        aligned = jax.jit(
+            lambda bb: rasterize_pallas.composite_pallas(bb, gx, gy)
+        )(b)
+        flat = jax.jit(
+            lambda bb: rasterize_pallas.composite_pallas(
+                bb, gx, gy, use_flat=True
+            )
+        )(b)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(aligned))
+
+
 def test_pack_geo_inference_close(preprocessed, monkeypatch):
     """GS_PACK_GEO additionally packs tile-relative means and scaled
     (conic_a, conic_b) pairs (6 payload operands). Bounded alpha error

@@ -120,7 +120,7 @@ def bench_surfel_render():
         st.campos, W, H, scales=jnp.asarray(scales),
         rotations=jnp.asarray(quats), colors_precomp=jnp.asarray(colors),
     )
-    cap = B.bucket_capacity(int(jnp.sum(pre.tiles_touched)) * 11 // 10)
+    cap = B.bucket_capacity(int(jnp.sum(jnp.maximum(pre.tiles_touched, 1))) * 11 // 10)
     st = st._replace(num_entries=cap)
     args = tuple(jnp.asarray(a) for a in (xyz, opac, scales, quats, colors))
 
@@ -221,7 +221,7 @@ def bench_surfel_train_step():
         scales=jnp.exp(state.params["scale"]), rotations=state.params["rot"],
         colors_precomp=jnp.zeros((n, 3), jnp.float32),
     )
-    cap = B.bucket_capacity(int(jnp.sum(pre.tiles_touched)) * 13 // 10)
+    cap = B.bucket_capacity(int(jnp.sum(jnp.maximum(pre.tiles_touched, 1))) * 13 // 10)
     st = RasterizeSettings(
         image_height=H, image_width=W, tanfovx=tanx, tanfovy=tany, bg=None,
         num_entries=cap, chunk=2048,

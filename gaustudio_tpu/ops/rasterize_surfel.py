@@ -313,7 +313,8 @@ def composite_surfel_fast(grid_x, grid_y, need_grads, M, Dk, mean2d,
     gradients computed by the Pallas reverse-walk backward."""
     from gaustudio_tpu.ops import rasterize_surfel_pallas as SP
 
-    return SP.composite_surfel_pallas(binned, grid_x, grid_y)
+    return SP.composite_surfel_pallas(binned, grid_x, grid_y,
+                                      use_flat=not need_grads)
 
 
 def _csf_fwd(grid_x, grid_y, need_grads, M, Dk, mean2d, opacities, colors,
@@ -410,7 +411,8 @@ def rasterize_surfels(
             pre,
         )
         sb = SP.bin_surfels_fast(pre_sg, grid_x, grid_y, settings.num_entries,
-                                 carry_slot=settings.need_grads)
+                                 carry_slot=settings.need_grads,
+                                 realign=settings.need_grads)
         packed = composite_surfel_fast(
             grid_x, grid_y, settings.need_grads, pre.M, pre.Dk, pre.mean2d,
             pre.opacities, pre.colors, pre.normal_view, sb,

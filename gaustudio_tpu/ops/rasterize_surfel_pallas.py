@@ -3,11 +3,12 @@
 The surfel counterpart of binning_fast + rasterize_pallas: a 24-row entry
 layout carries the ray-splat homography (M, 9), the view-depth
 coefficients (Dk, 3), opacity, color, view-space normal and the gaussian
-id through the same compact-sort -> monotone-expand -> tile-sort ->
-256-aligned-realign pipeline, and a per-tile compositor kernel evaluates
-the two-plane intersection alpha (reference semantics of
-rasterize_surfel._surfel_alpha / composite_surfel) with entries on
-sublanes and pixels on lanes.
+id through the same fused-expand -> 2-key (tile, depth) sort pipeline
+(train: 256-aligned realign for the backward; inference: the compositor
+reads flat runs directly with an in-kernel roll), and a per-tile
+compositor kernel evaluates the two-plane intersection alpha (reference
+semantics of rasterize_surfel._surfel_alpha / composite_surfel) with
+entries on sublanes and pixels on lanes.
 
 Differentiable: rasterize_surfel.composite_surfel_fast wraps this forward
 with a custom_vjp whose backward is the Pallas reverse walk in
@@ -65,7 +66,8 @@ class SurfelBinned(NamedTuple):
 
 
 def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
-                     carry_slot: bool = True) -> SurfelBinned:
+                     carry_slot: bool = True,
+                     realign: bool = True) -> SurfelBinned:
     """Surfel twin of binning_fast.bin_gaussians_fast over SurfelPre.
 
     ``carry_slot=False`` (inference: mesh extraction, gs-render) drops the
@@ -78,95 +80,84 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
     K = num_entries
     num_tiles = grid_x * grid_y
 
-    # 1. compact: sort gaussians by (invalid, depth). XLA variadic sort
-    # codegen scales pathologically past ~16 operands (a 26-operand sort
-    # COMPILES for over an hour on the remote Mosaic/XLA service), and
-    # random gathers at entry scale run at seconds — so the 24 payload
-    # columns ride through TWO stable sorts with identical keys (stable =>
-    # identical permutations), each within the known-good operand budget.
-    invalid = (~pre.valid).astype(jnp.int32)
+    # 1. slot allocation IN PREPROCESS ORDER (r3: the old 2x13-operand
+    # compact-by-depth sort pair bought only single-key stability of the
+    # tile sort; depth now rides as the tile sort's second key instead).
+    # Every gaussian owns >= 1 slot (zero-tile ones get a single valid=0
+    # slot) so the fused-expand window invariant holds.
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    m_cols = [pre.M[:, r, c] for r in range(3) for c in range(3)]
-    attr_cols = m_cols + [
-        pre.Dk[:, 0], pre.Dk[:, 1], pre.Dk[:, 2],
-        pre.opacities,
-        pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
-        pre.normal_view[:, 0], pre.normal_view[:, 1], pre.normal_view[:, 2],
-        jax.lax.stop_gradient(pre.mean2d[:, 0]),
-        jax.lax.stop_gradient(pre.mean2d[:, 1]),
-    ]  # 21 cols: M9 + Dk3 + op + rgb3 + n3 + mean2d
-    tail_cols = (
-        jnp.arange(n, dtype=jnp.float32),  # original gaussian id
-        pre.tiles_touched.astype(jnp.int32),
-        pre.rect_min[:, 0].astype(jnp.float32),
-        pre.rect_min[:, 1].astype(jnp.float32),
-        rect_w.astype(jnp.float32),
-    )
-    keys = (invalid, pre.depths)
-    s1 = jax.lax.sort(keys + tuple(attr_cols[:12]), num_keys=2, is_stable=True)
-    s2 = jax.lax.sort(keys + tuple(attr_cols[12:]) + tail_cols, num_keys=2,
-                      is_stable=True)
-    # column indices: 0 invalid, 1 depth, 2-22 attrs (2-20 kernel attrs,
-    # 21-22 mean2d), 23 gid, 24 tiles, 25 x0, 26 y0, 27 rw
-    sorted_g = list(s1) + list(s2[2:])
-    tiles_c = sorted_g[24]  # sorted tiles_touched (i32)
+    tiles_t = pre.tiles_touched.astype(jnp.int32)
+    valid_g = pre.valid & (tiles_t > 0)
+    tiles_alloc = jnp.maximum(tiles_t, 1)
+    iota_f = jnp.arange(n, dtype=jnp.float32)
 
-    # 2. slot geometry: exclusive entry-count cumsum + per-256-block window
+    # 2. slot geometry: exclusive slot-count cumsum + per-256-block window
     # anchors (Pallas boundary scan — no K-sized marker scatter; the full
     # slot->gaussian map is recovered inside the fused expand kernel)
-    starts = _blocked_cumsum(tiles_c).astype(jnp.int32)
-    total = starts[-1] + tiles_c[-1]
+    starts = _blocked_cumsum(tiles_alloc).astype(jnp.int32)
+    total = starts[-1] + tiles_alloc[-1]
     block_lo = block_lo_from_starts(starts, K)
 
     # 3+4. fused expand: one Pallas pass selects per-slot attributes and
     # computes each entry's tile id (row-major rect walk); no exact-alpha
     # cull for surfels (the intersection support is not an ellipse in
-    # pixel space). Table rows: 0-20 attrs (19-20 mean2d), 21 gid,
-    # 22 valid, 23 starts, 24 x0, 25 y0, 26 rw, 27 iota.
-    valid_s = (sorted_g[0] == 0).astype(jnp.float32)
+    # pixel space). Table rows: 0-20 attrs (19-20 mean2d), 21 depth,
+    # 22 gid, 23 valid, 24 starts, 25 x0, 26 y0, 27 rw, 28 iota.
     table = expand_table(
-        [sorted_g[2 + i] for i in range(21)]  # attr rows 0-20 (+mean2d 19-20)
+        [pre.M[:, r, c] for r in range(3) for c in range(3)]
         + [
-            sorted_g[23],  # 21: gid
-            valid_s,  # 22: valid
-            starts.astype(jnp.float32),  # 23
-            sorted_g[25],  # 24: x0
-            sorted_g[26],  # 25: y0
-            sorted_g[27],  # 26: rw
-            jnp.arange(n, dtype=jnp.float32),  # 27: iota
+            pre.Dk[:, 0], pre.Dk[:, 1], pre.Dk[:, 2],
+            pre.opacities,
+            pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
+            pre.normal_view[:, 0], pre.normal_view[:, 1],
+            pre.normal_view[:, 2],
+            jax.lax.stop_gradient(pre.mean2d[:, 0]),
+            jax.lax.stop_gradient(pre.mean2d[:, 1]),
+            pre.depths,  # 21: tile-sort second key
+            iota_f,  # 22: gid
+            valid_g.astype(jnp.float32),  # 23: valid
+            starts.astype(jnp.float32),  # 24
+            pre.rect_min[:, 0].astype(jnp.float32),  # 25: x0
+            pre.rect_min[:, 1].astype(jnp.float32),  # 26: y0
+            rect_w.astype(jnp.float32),  # 27: rw
+            iota_f,  # 28: iota
         ],
         height=_TBL_ROWS,
     )
     expanded_t = fused_expand(
         table, block_lo, total, grid_x, num_tiles, n, K,
-        n_sel=22, starts_row=23, rect_rows=(24, 25, 26), valid_row=22,
-        iota_row=27, out_rows=_FEXP_ROWS, cull=False,
+        n_sel=23, starts_row=24, rect_rows=(25, 26, 27), valid_row=23,
+        iota_row=28, out_rows=_FEXP_ROWS, cull=False,
     )
-    # expanded_t rows: 0-18 kernel attrs, 19-20 mean2d, 21 gid, 22 valid,
-    # 23 g (compact owner), 24 tile
+    # expanded_t rows: 0-18 kernel attrs, 19-20 mean2d, 21 depth, 22 gid,
+    # 23 valid, 24 g (compact owner), 25 tile
     slot = jnp.arange(K, dtype=jnp.int32)
-    g = expanded_t[23].astype(jnp.int32)
-    tile = expanded_t[24].astype(jnp.int32)
+    g = expanded_t[24].astype(jnp.int32)
+    tile = expanded_t[25].astype(jnp.int32)
+    dep = expanded_t[21]
 
-    # 5. stable tile sort carrying the 22 attr+gid columns through TWO
-    # <=14-operand stable sorts with identical keys (see the compact-sort
-    # note: variadic sort codegen blows past ~16 operands, and row gathers
-    # at entry scale run at seconds on XLA-TPU)
+    # 5. 2-key (tile, depth) sort carrying the 22 attr+gid columns through
+    # TWO sorts with identical keys (XLA variadic sort codegen blows past
+    # ~16 operands, and row gathers at entry scale run at seconds on
+    # XLA-TPU). is_stable=True is LOAD-BEARING here: it makes the
+    # permutation a deterministic function of the key sequence, so both
+    # sorts apply the identical permutation even on (tile, depth) ties.
     t1 = jax.lax.sort(
-        (tile,) + tuple(expanded_t[a] for a in range(10)),
-        num_keys=1, is_stable=True,
+        (tile, dep) + tuple(expanded_t[a] for a in range(10)),
+        num_keys=2, is_stable=True,
     )
     if carry_slot:
         t2 = jax.lax.sort(
-            (tile,) + tuple(expanded_t[a] for a in range(10, 22))
-            + (slot.astype(jnp.float32),),
-            num_keys=1, is_stable=True,
+            (tile, dep) + tuple(expanded_t[a] for a in range(10, 21))
+            + (expanded_t[22], slot.astype(jnp.float32)),
+            num_keys=2, is_stable=True,
         )
+        t2 = t2[:1] + t2[2:]  # drop the depth key: payload at t2[1:]
     else:
         from gaustudio_tpu.ops.binning_fast import _pack2_f16, _unpack2_f16
 
         t2p = jax.lax.sort(
-            (tile,)
+            (tile, dep)
             + (expanded_t[10], expanded_t[11])  # Dk1, Dk2 (exact)
             + (
                 _pack2_f16(expanded_t[13], expanded_t[14]),  # (r, g)
@@ -174,22 +165,22 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
                 _pack2_f16(expanded_t[16], expanded_t[17]),  # (n0, n1)
             )
             + (expanded_t[18], expanded_t[19], expanded_t[20],
-               expanded_t[21]),  # n2, cx, cy, gid (exact)
-            num_keys=1, is_stable=True,
+               expanded_t[22]),  # n2, cx, cy, gid (exact)
+            num_keys=2, is_stable=True,
         )
-        r_row, g_row = _unpack2_f16(t2p[3])
-        b_row, op_row = _unpack2_f16(t2p[4])
-        n0_row, n1_row = _unpack2_f16(t2p[5])
+        r_row, g_row = _unpack2_f16(t2p[4])
+        b_row, op_row = _unpack2_f16(t2p[5])
+        n0_row, n1_row = _unpack2_f16(t2p[6])
         zero_k = jnp.zeros((K,), jnp.float32)
         # rebuild the carry_slot operand order (slot row -> zeros)
-        t2 = (t2p[0], t2p[1], t2p[2], op_row, r_row, g_row, b_row,
-              n0_row, n1_row, t2p[6], t2p[7], t2p[8], t2p[9], zero_k)
+        t2 = (t2p[0], t2p[2], t2p[3], op_row, r_row, g_row, b_row,
+              n0_row, n1_row, t2p[7], t2p[8], t2p[9], t2p[10], zero_k)
     sort_tile = t1[0]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     # t2 payload order: cols 10-18 attrs -> t2[1:10]; col 19 cx -> t2[10];
-    # col 20 cy -> t2[11]; col 21 gid -> t2[12]; slot -> t2[13]
+    # col 20 cy -> t2[11]; col 22 gid -> t2[12]; slot -> t2[13]
     flat_entries = jnp.stack(
-        list(t1[1:])             # rows 0-9: attrs
+        list(t1[2:])             # rows 0-9: attrs
         + list(t2[1:10])         # rows 10-18: attrs
         + [t2[12]]               # row 19: gid
         + [valid_row]            # row 20: valid
@@ -204,16 +195,22 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
     tile_start = pos[:num_tiles]
     tile_count = pos[1:] - pos[:-1]
 
-    # 6. realign to 256-aligned per-tile runs
-    nb_al = aligned_capacity(K, num_tiles)
-    abpt = (tile_count + BLOCK - 1) // BLOCK
-    ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
-    bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(1, mode="drop")
-    blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
-    blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
-    src_lo = tile_start[blk_tile] + blk_k * BLOCK
-    vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
-    aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+    # 6. realign to 256-aligned per-tile runs (skipped on inference: the
+    # flat-mode compositor rolls runs into place in-kernel)
+    if realign:
+        nb_al = aligned_capacity(K, num_tiles)
+        abpt = (tile_count + BLOCK - 1) // BLOCK
+        ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
+        bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(
+            1, mode="drop")
+        blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
+        blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
+        src_lo = tile_start[blk_tile] + blk_k * BLOCK
+        vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
+        aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+    else:
+        ablock_start = jnp.zeros_like(tile_start)
+        aligned_blocks = jnp.zeros((0, S_ATTRS, BLOCK), jnp.float32)
 
     return SurfelBinned(
         aligned_blocks=aligned_blocks,
@@ -224,12 +221,16 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
         sorted_tile=sort_tile,
         num_rendered=total,
         slot_gauss=g.astype(jnp.int32),
-        compact_gid=sorted_g[23].astype(jnp.int32),
+        compact_gid=jnp.arange(n, dtype=jnp.int32),  # preprocess order
     )
 
 
+_FLAT_WIN = 4 * 128  # flat-mode window lanes (see rasterize_pallas)
+
+
 def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
-                   *, grid_x: int, tiles_per_prog: int):
+                   *, grid_x: int, tiles_per_prog: int,
+                   flat_mode: bool = False, k_total: int = 0):
     gprog = pl.program_id(0)
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
@@ -239,14 +240,26 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
     def tile_meta(t):
         return ablock_ref[t], (count_ref[t] + BLOCK - 1) // BLOCK
 
+    def flat_anchor(b0, blk_idx):
+        src = b0 + blk_idx * BLOCK
+        return jnp.minimum(src // 128, (k_total - _FLAT_WIN) // 128) * 128
+
+    def block_dma(b0, blk_idx, slot):
+        if flat_mode:
+            return pltpu.make_async_copy(
+                blocks_hbm.at[:, pl.ds(flat_anchor(b0, blk_idx), _FLAT_WIN)],
+                scratch.at[slot], sems.at[slot],
+            )
+        return pltpu.make_async_copy(
+            blocks_hbm.at[b0 + blk_idx], scratch.at[slot], sems.at[slot]
+        )
+
     def start_first_dma(i, t):
         b0, nb = tile_meta(t)
 
         @pl.when(nb > 0)
         def _():
-            pltpu.make_async_copy(
-                blocks_hbm.at[b0], scratch.at[2 + i % 2], sems.at[2 + i % 2]
-            ).start()
+            block_dma(b0, 0, 2 + i % 2).start()
 
     start_first_dma(0, gprog * tiles_per_prog)
 
@@ -264,9 +277,7 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         py = ty * TILE_Y + qy
 
         def get_dma(slot, blk_idx):
-            return pltpu.make_async_copy(
-                blocks_hbm.at[b0 + blk_idx], scratch.at[slot], sems.at[slot]
-            )
+            return block_dma(b0, blk_idx, slot)
 
         row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
         init = (
@@ -292,7 +303,14 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             # valid count allows, halving the VPU work of half-empty blocks
             (T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = carry
             sub = subl[:rows]
-            blk = scratch[slot][:, :rows].T  # (24, rows) -> (rows, 24)
+            if flat_mode:
+                off = b0 + c * BLOCK - flat_anchor(b0, c)
+                rolled = pltpu.roll(
+                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
+                )
+                blk = rolled[:, :rows].T  # (24, rows) -> (rows, 24)
+            else:
+                blk = scratch[slot][:, :rows].T  # (24, rows) -> (rows, 24)
 
             mx = [blk[:, k:k + 1] for k in range(3)]  # Mx coefficients
             my = [blk[:, 3 + k:4 + k] for k in range(3)]
@@ -333,11 +351,12 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             alpha = jnp.minimum(_ALPHA_MAX, op * G)
             # 2D-branch depth = center depth (reference 2DGS semantics)
             depth = jnp.where(use3d, dk0 * u + dk1 * v + dk2, dk2)
-            alpha = jnp.where(
-                (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN) | (vld < 0.5),
-                0.0,
-                alpha,
-            )
+            dead = (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN) | (vld < 0.5)
+            if flat_mode:
+                # flat runs: rows past the tile's count hold the NEXT
+                # tile's valid entries — mask explicitly
+                dead = dead | (c * BLOCK + sub >= count_ref[t])
+            alpha = jnp.where(dead, 0.0, alpha)
 
             # entry-axis inclusive prefix product of (1 - alpha)
             cum = 1.0 - alpha
@@ -430,15 +449,19 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
 
 def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
-                            tiles_per_prog: int = 8):
+                            tiles_per_prog: int = 8,
+                            use_flat: bool = False):
     """[T, 16, 256] packed surfel buffers: rows 0-2 rgb, 3 depth-sum (=m1),
     4-6 view normal, 7 med_d, 8 med_w, 9 med_i, 10 final_T, 11 m2,
     12 n_contrib."""
     num_tiles = grid_x * grid_y
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
     pad = padded - num_tiles
-    ablock_start = jnp.pad(binned.ablock_start, (0, pad))
+    start = binned.tile_start if use_flat else binned.ablock_start
+    ablock_start = jnp.pad(start, (0, pad))
     tile_count = jnp.pad(binned.tile_count, (0, pad))
+    k_total = binned.flat_entries.shape[1]
+    win = _FLAT_WIN if use_flat else BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(padded // tiles_per_prog,),
@@ -447,12 +470,14 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
             (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, s, c: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, S_ATTRS, BLOCK), jnp.float32),
+            pltpu.VMEM((4, S_ATTRS, win), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = partial(_surfel_kernel, grid_x=grid_x,
-                     tiles_per_prog=tiles_per_prog)
+                     tiles_per_prog=tiles_per_prog, flat_mode=use_flat,
+                     k_total=k_total)
+    data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
@@ -462,5 +487,5 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
-    )(ablock_start, tile_count, binned.aligned_blocks)
+    )(ablock_start, tile_count, data)
     return out[:num_tiles]

@@ -46,7 +46,7 @@ def main():
         rotations=jnp.asarray(quats), colors_precomp=jnp.asarray(colors),
     )
     from gaustudio_tpu.ops import binning as B
-    total = int(jnp.sum(pre.tiles_touched))
+    total = int(jnp.sum(jnp.maximum(pre.tiles_touched, 1)))
     cap = B.bucket_capacity(int(total * 1.1))
     print(f"surfels={n} entries={total} cap={cap}", flush=True)
 

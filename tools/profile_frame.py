@@ -1,8 +1,10 @@
 """Per-stage frame profiler on the real TPU.
 
 Times each stage of the fast render path separately (own jit, honest
-scalar-read fence) plus the whole frame in one jit. Used to decide which
-perf lever to pull next; numbers go to PLAN.md.
+scalar-read fence) plus the whole frame in one jit, for BOTH pipeline
+modes (train: exact payloads + realign; inference: packed payloads +
+flat-mode compositor). Used to decide which perf lever to pull next;
+numbers go to docs/PERF.md.
 """
 
 import os
@@ -17,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from bench import make_scene
-from gaustudio_tpu.ops import binning, binning_fast, gaussian, rasterize as rast
+from gaustudio_tpu.ops import binning_fast, gaussian, rasterize as rast
 from gaustudio_tpu.ops import rasterize_pallas
 from gaustudio_tpu.ops.rasterize import RasterizeSettings
 
@@ -66,6 +68,8 @@ def main():
     settings = settings._replace(num_entries=cap)
     grid_x = (W + gaussian.TILE_X - 1) // gaussian.TILE_X
     grid_y = (H + gaussian.TILE_Y - 1) // gaussian.TILE_Y
+    num_tiles = grid_x * grid_y
+    K = cap
     print(f"num_entries capacity = {cap}", flush=True)
 
     @jax.jit
@@ -79,120 +83,138 @@ def main():
     ms, pre = timeit(stage_pre, *args)
     print(f"preprocess: {ms:.2f} ms", flush=True)
 
-    @jax.jit
-    def stage_bin(pre):
-        return binning_fast.bin_gaussians_fast(pre, grid_x, grid_y, cap)
+    for mode, kw in (
+        ("train", dict(carry_gid=False, carry_slot=True, realign=True)),
+        ("inference", dict(carry_gid=True, carry_slot=False, realign=False)),
+    ):
+        @jax.jit
+        def stage_bin(pre, kw=kw):
+            return binning_fast.bin_gaussians_fast(pre, grid_x, grid_y, cap,
+                                                   **kw)
 
-    ms, binned = timeit(stage_bin, pre)
-    print(f"binning (all): {ms:.2f} ms", flush=True)
-    print(f"num_rendered = {int(binned.num_rendered)}", flush=True)
+        ms, binned = timeit(stage_bin, pre)
+        print(f"binning (all, {mode}): {ms:.2f} ms  "
+              f"num_rendered={int(binned.num_rendered)}", flush=True)
 
-    @jax.jit
-    def stage_comp(binned):
-        return rasterize_pallas.composite_pallas(binned, grid_x, grid_y)
+        use_flat = not kw["realign"]
 
-    ms, packed = timeit(stage_comp, binned)
-    print(f"compositor: {ms:.2f} ms", flush=True)
+        @jax.jit
+        def stage_comp(binned, use_flat=use_flat, wm=kw["carry_gid"]):
+            return rasterize_pallas.composite_pallas(
+                binned, grid_x, grid_y, with_median=wm, use_flat=use_flat)
 
-    # empty-workload compositor: same tile structure, zero counts
-    empty = binned._replace(tile_count=jnp.zeros_like(binned.tile_count))
-    ms, _ = timeit(stage_comp, empty)
-    print(f"compositor (empty): {ms:.2f} ms", flush=True)
+        ms, packed = timeit(stage_comp, binned)
+        print(f"compositor ({mode}{', flat' if use_flat else ''}): "
+              f"{ms:.2f} ms", flush=True)
+        empty = binned._replace(tile_count=jnp.zeros_like(binned.tile_count))
+        ms, _ = timeit(stage_comp, empty)
+        print(f"compositor (empty, {mode}): {ms:.2f} ms", flush=True)
 
-    # binning sub-stages
+    # binning sub-stages (new r3 pipeline: no compact sort)
     n = pre.depths.shape[0]
-    K = cap
 
     @jax.jit
-    def sub_compact(pre):
-        invalid = pre.valid.astype(jnp.int32) ^ 1
+    def sub_slotgeom(pre):
+        tiles_alloc = jnp.maximum(pre.tiles_touched.astype(jnp.int32), 1)
+        starts = binning_fast._blocked_cumsum(tiles_alloc).astype(jnp.int32)
+        total = starts[-1] + tiles_alloc[-1]
+        block_lo = binning_fast.block_lo_from_starts(starts, K)
+        return block_lo, starts, total
+
+    ms, (block_lo, starts, total) = timeit(sub_slotgeom, pre)
+    print(f"  slot geometry (cumsum + block_lo scan): {ms:.2f} ms", flush=True)
+
+    @jax.jit
+    def sub_expand(pre, block_lo, starts, total):
         rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-        sorted_g = jax.lax.sort(
-            (
-                invalid, pre.depths,
+        tiles_t = pre.tiles_touched.astype(jnp.int32)
+        valid_g = pre.valid & (tiles_t > 0)
+        iota_f = jnp.arange(n, dtype=jnp.float32)
+        table = binning_fast.expand_table(
+            [
                 pre.means2d[:, 0], pre.means2d[:, 1],
                 pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
                 pre.opacities,
                 pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
-                jnp.arange(n, dtype=jnp.float32),
-                pre.tiles_touched.astype(jnp.int32),
+                pre.depths, iota_f, valid_g.astype(jnp.float32),
+                starts.astype(jnp.float32),
                 pre.rect_min[:, 0].astype(jnp.float32),
                 pre.rect_min[:, 1].astype(jnp.float32),
                 rect_w.astype(jnp.float32),
-            ),
-            num_keys=2, is_stable=True,
-        )
-        return sorted_g
-
-    ms, sorted_g = timeit(sub_compact, pre)
-    print(f"  compact sort (16 ops @ {n}): {ms:.2f} ms", flush=True)
-
-    @jax.jit
-    def sub_slotgeom(tiles_c):
-        starts = binning_fast._blocked_cumsum(tiles_c).astype(jnp.int32)
-        total = starts[-1] + tiles_c[-1]
-        nb = K // binning_fast.BLOCK
-        blk_key = (starts + binning_fast.BLOCK - 1) // binning_fast.BLOCK
-        block_lo = jnp.maximum(
-            binning_fast.tile_ranges(blk_key, nb)[1:] - 1, 0
-        )
-        return block_lo, starts, total
-
-    ms, (block_lo, starts, total) = timeit(sub_slotgeom, sorted_g[12])
-    print(f"  slot geometry (cumsum + block_lo scan): {ms:.2f} ms", flush=True)
-
-    @jax.jit
-    def sub_expand(sorted_g, block_lo, starts, total):
-        dep_s = sorted_g[1]
-        valid_s = (sorted_g[0] == 0).astype(jnp.float32)
-        table = binning_fast.expand_table(
-            [
-                sorted_g[2], sorted_g[3], sorted_g[4], sorted_g[5], sorted_g[6],
-                sorted_g[7], sorted_g[8], sorted_g[9], sorted_g[10],
-                dep_s, sorted_g[11], valid_s,
-                starts.astype(jnp.float32),
-                sorted_g[13], sorted_g[14], sorted_g[15],
-                jnp.arange(n, dtype=jnp.float32),
+                iota_f,
             ]
         )
         return binning_fast.fused_expand(
-            table, block_lo, total, grid_x, grid_x * grid_y, n, K
+            table, block_lo, total, grid_x, num_tiles, n, K
         )
 
-    ms, expanded_t = timeit(sub_expand, sorted_g, block_lo, starts, total)
+    ms, expanded_t = timeit(sub_expand, pre, block_lo, starts, total)
     print(f"  fused expand (select+tileid+cull): {ms:.2f} ms", flush=True)
 
     @jax.jit
-    def sub_sort(expanded_t):
-        slot = jnp.arange(K, dtype=jnp.int32)
+    def sub_sort_train(expanded_t):
+        slot = jnp.arange(K, dtype=jnp.float32)
         tile = expanded_t[13].astype(jnp.int32)
-        cols = tuple(expanded_t[a] for a in range(11))
-        cols = cols + (slot.astype(jnp.float32),)
-        return jax.lax.sort((tile,) + cols, num_keys=1, is_stable=True)
+        cols = tuple(expanded_t[a] for a in range(9)) + (slot,)
+        return jax.lax.sort((tile, expanded_t[9]) + cols, num_keys=2,
+                            is_stable=False)
 
-    ms, sorted_ops = timeit(sub_sort, expanded_t)
-    print(f"  tile sort (13 ops @ {K}): {ms:.2f} ms", flush=True)
+    ms, sorted_ops = timeit(sub_sort_train, expanded_t)
+    print(f"  tile sort (train, 12 ops @ {K}): {ms:.2f} ms", flush=True)
+
+    @jax.jit
+    def sub_sort_inf(expanded_t):
+        tile = expanded_t[13].astype(jnp.int32)
+        tyf = jnp.floor(expanded_t[13] / jnp.float32(grid_x))
+        txf = expanded_t[13] - tyf * grid_x
+        dx = expanded_t[0] - 16.0 * txf
+        dy = expanded_t[1] - 16.0 * tyf
+        cols = (
+            binning_fast._pack2_f16(dx, dy),
+            binning_fast._pack2_f16(expanded_t[2] * 16384.0,
+                                    expanded_t[3] * 16384.0),
+            expanded_t[4],
+            binning_fast._pack2_f16(expanded_t[6], expanded_t[7]),
+            binning_fast._pack2_f16(expanded_t[8], expanded_t[5]),
+            expanded_t[10],
+        )
+        return jax.lax.sort((tile, expanded_t[9]) + cols, num_keys=2,
+                            is_stable=False)
+
+    ms, _ = timeit(sub_sort_inf, expanded_t)
+    print(f"  tile sort (inference, 8 ops @ {K}): {ms:.2f} ms", flush=True)
 
     @jax.jit
     def sub_stack(sorted_ops):
-        num_tiles = grid_x * grid_y
         sort_tile = sorted_ops[0]
         valid_row = (sort_tile < num_tiles).astype(jnp.float32)
         zero_row = jnp.zeros((K,), jnp.float32)
-        flat_entries = jnp.stack(
-            list(sorted_ops[1:12])
-            + [valid_row, sorted_ops[12], zero_row, zero_row, zero_row],
+        return jnp.stack(
+            list(sorted_ops[2:11]) + [sorted_ops[1], zero_row, valid_row,
+                                      sorted_ops[11], zero_row, zero_row,
+                                      zero_row],
             axis=0,
         )
-        return flat_entries
 
     ms, flat_entries = timeit(sub_stack, sorted_ops)
     print(f"  flat stack: {ms:.2f} ms", flush=True)
 
-    ms, binned2 = timeit(stage_bin, pre)
+    @jax.jit
+    def sub_ranges(sort_tile):
+        return binning_fast.tile_ranges(sort_tile, num_tiles)
+
+    ms, _ = timeit(sub_ranges, sorted_ops[0])
+    print(f"  ranges (Pallas boundary scan): {ms:.2f} ms", flush=True)
+
+    @jax.jit
+    def stage_bin_train(pre):
+        return binning_fast.bin_gaussians_fast(
+            pre, grid_x, grid_y, cap, carry_gid=False, carry_slot=True)
+
+    _, binned2 = timeit(stage_bin_train, pre)
+
     @jax.jit
     def sub_realign(binned):
-        num_tiles = grid_x * grid_y
         nb_al = binning_fast.aligned_capacity(K, num_tiles)
         abpt = (binned.tile_count + binning_fast.BLOCK - 1) // binning_fast.BLOCK
         ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
@@ -205,30 +227,23 @@ def main():
         return binning_fast.realign_runs(binned.flat_entries, src_lo, vcnt, nb_al)
 
     ms, _ = timeit(sub_realign, binned2)
-    print(f"  realign: {ms:.2f} ms", flush=True)
+    print(f"  realign (train only): {ms:.2f} ms", flush=True)
 
-    @jax.jit
-    def sub_ranges(sort_tile):
-        num_tiles = grid_x * grid_y
-        pos = jnp.searchsorted(
-            sort_tile, jnp.arange(num_tiles + 1, dtype=sort_tile.dtype)
-        ).astype(jnp.int32)
-        return pos
+    # whole frames, one jit each
+    for mode, ng in (("train-mode", True), ("inference", False)):
+        st = settings._replace(need_grads=ng)
 
-    ms, _ = timeit(sub_ranges, sorted_ops[0])
-    print(f"  ranges searchsorted: {ms:.2f} ms", flush=True)
+        @jax.jit
+        def whole(xyz, scales, quats, opac, colors, st=st):
+            out = rast.rasterize(
+                xyz, opac, st,
+                colors_precomp=colors, scales=scales, rotations=quats,
+            )
+            return out["render"]
 
-    # whole frame
-    @jax.jit
-    def whole(xyz, scales, quats, opac, colors):
-        out = rast.rasterize(
-            xyz, opac, settings,
-            colors_precomp=colors, scales=scales, rotations=quats,
-        )
-        return out["render"]
-
-    ms, _ = timeit(whole, *args, iters=20)
-    print(f"WHOLE FRAME: {ms:.2f} ms = {H * W / 1e6 / (ms / 1e3):.2f} MPix/s", flush=True)
+        ms, _ = timeit(whole, *args, iters=20)
+        print(f"WHOLE FRAME ({mode}): {ms:.2f} ms = "
+              f"{H * W / 1e6 / (ms / 1e3):.2f} MPix/s", flush=True)
 
 
 if __name__ == "__main__":

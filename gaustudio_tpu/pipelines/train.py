@@ -371,6 +371,15 @@ def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
         count=state.opt.count,
     )
 
+    info = {
+        "n_clone": n_clone,
+        "n_split": n_split,
+        "n_prune_opacity": jnp.sum(state.valid & (opacity_act < cfg.min_opacity)),
+        "n_prune_big": jnp.sum(
+            prune_big_points & state.valid & (big_screen | big_world)
+        ),
+        "grad_med": jnp.nanmedian(jnp.where(state.valid, grads, jnp.nan)),
+    }
     return state._replace(
         params=new_params,
         valid=new_valid,
@@ -378,7 +387,7 @@ def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
         xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
         denom=jnp.zeros_like(state.denom),
         max_radii2d=jnp.zeros_like(state.max_radii2d),
-    )
+    ), info
 
 
 @jax.jit
@@ -538,9 +547,12 @@ class Trainer:
                 if it % cfg.densification_interval == 0:
                     self.key, sub = jax.random.split(self.key)
                     prune_big = jnp.asarray(it > cfg.opacity_reset_interval)
-                    self.state = densify_and_prune(
+                    self.state, dinfo = densify_and_prune(
                         self.state, sub, jnp.asarray(self.extent), cfg, prune_big
                     )
+                    self._last_densify = {
+                        k: float(np.asarray(v)) for k, v in dinfo.items()
+                    }
                     self.maybe_grow_capacity()
                 if it % cfg.opacity_reset_interval == 0:
                     self.state = reset_opacity(self.state)
@@ -548,6 +560,9 @@ class Trainer:
             if it % log_every == 0 or it == iters:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["iter"] = it
+                if getattr(self, "_last_densify", None):
+                    m.update(self._last_densify)
+                    self._last_densify = None
                 # entry-capacity watchdog: ``num_rendered`` is the TRUE
                 # intersection count (pre-truncation); entries beyond the
                 # static bucket are silently dropped, which corrupts grads.

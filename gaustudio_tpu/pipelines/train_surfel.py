@@ -184,7 +184,7 @@ class SurfelTrainer(Trainer):
                     self.state = T.densify_and_prune(
                         self.state, sub, jnp.asarray(self.extent), cfg.base,
                         jnp.asarray(it > cfg.base.opacity_reset_interval),
-                    )
+                    )[0]
                     self.maybe_grow_capacity()
                 if it % cfg.base.opacity_reset_interval == 0:
                     self.state = T.reset_opacity(self.state)

@@ -233,6 +233,7 @@ def test_need_grads_false_backward_raises(preprocessed):
         jax.grad(loss)(pre.colors)
 
 
+@pytest.mark.slow
 def test_comp_dot3_power_close(preprocessed, monkeypatch):
     """GS_COMP_DOT3: the 3-plane bf16 MXU power matmul matches the VPU
     power within ~1e-3 absolute on composited output."""

@@ -41,7 +41,11 @@ def _stack_batch(trainer, cams):
     return CameraBatch(*[jnp.stack(x) for x in zip(*batches)])
 
 
-@pytest.mark.parametrize("dp,gs", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("dp,gs", [
+    (8, 1),
+    pytest.param(4, 2, marks=pytest.mark.slow),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+])
 def test_dp_gs_train_step(dp, gs):
     pcd, cams = _scene()
     # perturb the model away from the GT optimum so the loss can decrease

@@ -251,6 +251,7 @@ def test_gradients_match_naive_autodiff(scene):
                                    err_msg=f"grad mismatch for {name}")
 
 
+@pytest.mark.slow
 def test_gradient_finite_difference(scene):
     s = scene
     st = s["settings"]

@@ -1,5 +1,6 @@
 """Scaffold + mip model/renderer smoke tests."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -64,6 +65,7 @@ def test_mip_filter_and_render():
     assert np.isfinite(np.asarray(out["render"])).all()
 
 
+@pytest.mark.slow
 def test_gsplat_antialiased_renderer():
     """gsplat backend = antialiased mode: the 0.3-px low-pass compensation
     dims sub-pixel splats (ref gsplat project_gaussians' compensation

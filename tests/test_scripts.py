@@ -156,6 +156,7 @@ def _write_nerf_scene(path, num_cam=3, size=32, seed=3):
     return cams
 
 
+@pytest.mark.slow
 def test_gs_train_cli_resume(tmp_path):
     """--checkpoint_every writes full orbax state; --resume continues from
     it (step counter and point count restored)."""
@@ -187,6 +188,7 @@ def test_gs_train_cli_resume(tmp_path):
     assert int(state2.step) == 20
 
 
+@pytest.mark.slow
 def test_gs_train_cli_2dgs_smoke(tmp_path):
     """--config 2dgs routes to the SurfelTrainer; the exported ply must be
     a 2DGS checkpoint (scale_0/scale_1 only) that the renderers accept."""
@@ -220,6 +222,7 @@ def test_gs_train_cli_2dgs_smoke(tmp_path):
     assert np.isfinite(np.asarray(outp["render"])).all()
 
 
+@pytest.mark.slow
 def test_gs_render_mesh_and_texture_cli(trained_model_dir, tmp_path):
     from gaustudio_tpu.ops import mcubes
     from gaustudio_tpu.scripts import render_mesh, texture_mesh

@@ -82,6 +82,7 @@ def test_surfel_tilted_depth_gradient():
     assert (np.diff(d) > 0).mean() > 0.95 or (np.diff(d) < 0).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_surfel_gradients_flow():
     cam = _front_camera(w=32, h=32)
     st = _settings(cam, n_entries=1 << 12)
@@ -162,6 +163,7 @@ def test_surfel_fast_binning_matches_xla_path():
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_surfel_lean_mode_close_and_backward_raises():
     """need_grads=False (the renderer/inference default): output matches
     the exact pipeline within f16 payload rounding, and differentiating
@@ -211,6 +213,7 @@ def test_surfel_lean_mode_close_and_backward_raises():
         jax.grad(loss)(jnp.asarray(colors))
 
 
+@pytest.mark.slow
 def test_surfel_pallas_empty_and_saturated():
     """Edge cases for the Pallas surfel path: an empty scene (all culled)
     and a heavily saturated stack of opaque surfels."""

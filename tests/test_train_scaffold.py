@@ -51,6 +51,7 @@ def test_decode_matches_renderer():
                                np.asarray(opacity_r)[live], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scaffold_training_reduces_loss():
     model = _model()
     cams = _cams()

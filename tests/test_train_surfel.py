@@ -1,5 +1,6 @@
 """2DGS surfel training test: overfit improves PSNR with regularizers on."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ class _ListDataset(list):
     cameras_extent = 2.0
 
 
+@pytest.mark.slow
 def test_surfel_overfit():
     rng = np.random.default_rng(0)
     n = 150

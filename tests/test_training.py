@@ -40,6 +40,7 @@ def _make_gt_scene(seed=0, n=120, size=64):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_overfit_improves_psnr():
     gt_pcd, cams = _make_gt_scene()
     # init from perturbed positions/colors
@@ -121,7 +122,7 @@ def test_densify_clone_and_split():
     n_before = int(state.num_points)
     new_state = T.densify_and_prune(
         state, jax.random.PRNGKey(0), extent, cfg, jnp.asarray(False)
-    )
+    )[0]
     n_after = int(new_state.num_points)
     # clone adds 1; split removes parent and adds 2 -> net +2
     assert n_after == n_before + 2
@@ -140,7 +141,7 @@ def test_densify_prunes_transparent():
     n_before = int(state.num_points)
     new_state = T.densify_and_prune(
         state, jax.random.PRNGKey(0), jnp.asarray(1.0), cfg, jnp.asarray(False)
-    )
+    )[0]
     assert int(new_state.num_points) == n_before - 1
     assert not bool(new_state.valid[2])
 

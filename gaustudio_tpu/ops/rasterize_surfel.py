@@ -303,8 +303,9 @@ def composite_surfel(grid_x, grid_y, chunk, pre: SurfelPre, binned) -> SurfelOut
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def composite_surfel_fast(grid_x, grid_y, need_grads, M, Dk, mean2d,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def composite_surfel_fast(grid_x, grid_y, need_grads, with_median, M, Dk,
+                          mean2d,
                           opacities, colors, normal_view, binned):
     """Pallas surfel compositor with a custom VJP.
 
@@ -314,17 +315,19 @@ def composite_surfel_fast(grid_x, grid_y, need_grads, M, Dk, mean2d,
     from gaustudio_tpu.ops import rasterize_surfel_pallas as SP
 
     return SP.composite_surfel_pallas(binned, grid_x, grid_y,
-                                      use_flat=not need_grads)
+                                      use_flat=not need_grads,
+                                      with_median=with_median)
 
 
-def _csf_fwd(grid_x, grid_y, need_grads, M, Dk, mean2d, opacities, colors,
-             normal_view, binned):
-    packed = composite_surfel_fast(grid_x, grid_y, need_grads, M, Dk, mean2d,
-                                   opacities, colors, normal_view, binned)
+def _csf_fwd(grid_x, grid_y, need_grads, with_median, M, Dk, mean2d,
+             opacities, colors, normal_view, binned):
+    packed = composite_surfel_fast(grid_x, grid_y, need_grads, with_median,
+                                   M, Dk, mean2d, opacities, colors,
+                                   normal_view, binned)
     return packed, (binned, packed[:, 10, :], packed[:, 12, :])
 
 
-def _csf_bwd(grid_x, grid_y, need_grads, res, dp):
+def _csf_bwd(grid_x, grid_y, need_grads, with_median, res, dp):
     from gaustudio_tpu.ops import rasterize_surfel_pallas_bwd as SB
 
     if not need_grads:
@@ -412,9 +415,11 @@ def rasterize_surfels(
         )
         sb = SP.bin_surfels_fast(pre_sg, grid_x, grid_y, settings.num_entries,
                                  carry_slot=settings.need_grads,
-                                 realign=settings.need_grads)
+                                 realign=settings.need_grads,
+                                 carry_gid=settings.with_median)
         packed = composite_surfel_fast(
-            grid_x, grid_y, settings.need_grads, pre.M, pre.Dk, pre.mean2d,
+            grid_x, grid_y, settings.need_grads, settings.with_median,
+            pre.M, pre.Dk, pre.mean2d,
             pre.opacities, pre.colors, pre.normal_view, sb,
         )
         pad1 = lambda x, v=0.0: jnp.concatenate(

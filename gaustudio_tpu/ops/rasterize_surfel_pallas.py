@@ -67,7 +67,8 @@ class SurfelBinned(NamedTuple):
 
 def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
                      carry_slot: bool = True,
-                     realign: bool = True) -> SurfelBinned:
+                     realign: bool = True,
+                     carry_gid: bool = True) -> SurfelBinned:
     """Surfel twin of binning_fast.bin_gaussians_fast over SurfelPre.
 
     ``carry_slot=False`` (inference: mesh extraction, gs-render) drops the
@@ -147,12 +148,18 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
         num_keys=2, is_stable=True,
     )
     if carry_slot:
+        # training: gid feeds only the median-id output, which the loss
+        # never reads — carry_gid=False drops that operand
+        gid_ops = (expanded_t[22],) if carry_gid else ()
         t2 = jax.lax.sort(
             (tile, dep) + tuple(expanded_t[a] for a in range(10, 21))
-            + (expanded_t[22], slot.astype(jnp.float32)),
+            + gid_ops + (slot.astype(jnp.float32),),
             num_keys=2, is_stable=True,
         )
         t2 = t2[:1] + t2[2:]  # drop the depth key: payload at t2[1:]
+        if not carry_gid:
+            # restore the (.., gid, slot) tail shape with a zero gid row
+            t2 = t2[:12] + (jnp.zeros((K,), jnp.float32), t2[12])
     else:
         from gaustudio_tpu.ops.binning_fast import _pack2_f16, _unpack2_f16
 
@@ -230,7 +237,8 @@ _FLAT_WIN = 4 * 128  # flat-mode window lanes (see rasterize_pallas)
 
 def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                    *, grid_x: int, tiles_per_prog: int,
-                   flat_mode: bool = False, k_total: int = 0):
+                   flat_mode: bool = False, k_total: int = 0,
+                   with_median: bool = True):
     gprog = pl.program_id(0)
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
@@ -387,19 +395,25 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                            keepdims=True)
             )
 
-            cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
-            crossed = jnp.any(cross, axis=0, keepdims=True)
-            md = jnp.where(
-                crossed, jnp.sum(jnp.where(cross, depth, 0.0), 0, keepdims=True), md
-            )
-            mwt = jnp.where(
-                crossed,
-                jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0, keepdims=True),
-                mwt,
-            )
-            mi = jnp.where(
-                crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
-            )
+            if with_median:
+                # median trio (0.5-crossing): skipped in training, whose
+                # loss never reads it (~1/4 of the per-block reductions)
+                cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
+                crossed = jnp.any(cross, axis=0, keepdims=True)
+                md = jnp.where(
+                    crossed,
+                    jnp.sum(jnp.where(cross, depth, 0.0), 0, keepdims=True), md
+                )
+                mwt = jnp.where(
+                    crossed,
+                    jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0,
+                            keepdims=True),
+                    mwt,
+                )
+                mi = jnp.where(
+                    crossed,
+                    jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
+                )
 
             pos1 = (c * BLOCK + sub + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
@@ -450,7 +464,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
 def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
                             tiles_per_prog: int = 8,
-                            use_flat: bool = False):
+                            use_flat: bool = False,
+                            with_median: bool = True):
     """[T, 16, 256] packed surfel buffers: rows 0-2 rgb, 3 depth-sum (=m1),
     4-6 view normal, 7 med_d, 8 med_w, 9 med_i, 10 final_T, 11 m2,
     12 n_contrib."""
@@ -476,7 +491,7 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
     )
     kernel = partial(_surfel_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog, flat_mode=use_flat,
-                     k_total=k_total)
+                     k_total=k_total, with_median=with_median)
     data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,

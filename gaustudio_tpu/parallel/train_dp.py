@@ -167,7 +167,8 @@ def _state_specs():
     return GaussianTrainState(
         params=params,
         valid=row,
-        opt=AdamState(mu=dict(params), nu=dict(params), count=rep),
+        opt=AdamState(mu=dict(params), nu=dict(params),
+                      count=dict(params)),  # per-row counts shard with gs
         step=rep,
         xyz_grad_accum=row,
         denom=row,

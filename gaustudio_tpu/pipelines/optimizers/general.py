@@ -24,13 +24,26 @@ from gaustudio_tpu.pipelines import optimizers
 class AdamState(NamedTuple):
     mu: Dict[str, jnp.ndarray]
     nu: Dict[str, jnp.ndarray]
-    count: jnp.ndarray  # [] int32
+    # PER-ROW, PER-ATTRIBUTE step counts {k: [rows] int32}. Row surgery
+    # (densify clone/split/prune, opacity reset) zeroes a row's moments AND
+    # its count, so Adam's bias correction restarts exactly like torch's
+    # per-tensor state reset. With a single global count, freshly created
+    # rows train at (1-b1^k)/sqrt(1-b2^k) ~ 3-6.5x the intended lr for
+    # their first ~100 steps — with densification refreshing a large
+    # fraction of rows every interval, that overshoot compounded into
+    # parameter blow-ups (diagnosed in the r3 at-scale run: median
+    # accumulated viewspace grad exploded 7e-5 -> 5e3 as densify ramped).
+    count: Dict[str, jnp.ndarray]
 
 
 def adam_init(params: Dict[str, jnp.ndarray]) -> AdamState:
     zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
-    return AdamState(mu=zeros, nu={k: jnp.zeros_like(v) for k, v in params.items()},
-                     count=jnp.zeros((), jnp.int32))
+    return AdamState(
+        mu=zeros,
+        nu={k: jnp.zeros_like(v) for k, v in params.items()},
+        count={k: jnp.zeros((v.shape[0],), jnp.int32)
+               for k, v in params.items()},
+    )
 
 
 def adam_update(
@@ -48,19 +61,23 @@ def adam_update(
     """One Adam step with per-attribute learning rates.
 
     ``lrs[k]`` may be a scalar or traced value (for schedules).  ``row_mask``
-    [C] gates updates to padded rows.
+    [C] gates updates to padded rows (their counts do not advance).
     """
-    count = state.count + 1
-    c1 = 1.0 - b1 ** count.astype(jnp.float32)
-    c2 = 1.0 - b2 ** count.astype(jnp.float32)
-
-    new_params, new_mu, new_nu = {}, {}, {}
+    new_params, new_mu, new_nu, new_count = {}, {}, {}, {}
     for k, p in params.items():
         g = grads[k]
         if weight_decay:
             g = g + weight_decay * p
         mu = b1 * state.mu[k] + (1 - b1) * g
         nu = b2 * state.nu[k] + (1 - b2) * g * g
+        if row_mask is not None:
+            cnt = state.count[k] + row_mask.astype(jnp.int32)
+        else:
+            cnt = state.count[k] + 1
+        cf = cnt.astype(jnp.float32).reshape((-1,) + (1,) * (p.ndim - 1))
+        # masked rows keep cnt == 0: floor c1/c2 so 0-moments divide to 0
+        c1 = jnp.maximum(1.0 - b1 ** cf, 1e-8)
+        c2 = jnp.maximum(1.0 - b2 ** cf, 1e-8)
         update = lrs.get(k, 0.0) * (mu / c1) / (jnp.sqrt(nu / c2) + eps)
         if row_mask is not None:
             m = row_mask.reshape((-1,) + (1,) * (p.ndim - 1)).astype(p.dtype)
@@ -68,7 +85,8 @@ def adam_update(
         new_params[k] = p - update
         new_mu[k] = mu
         new_nu[k] = nu
-    return new_params, AdamState(mu=new_mu, nu=new_nu, count=count)
+        new_count[k] = cnt
+    return new_params, AdamState(mu=new_mu, nu=new_nu, count=new_count)
 
 
 def exp_lr_schedule(lr_init, lr_final, max_steps, lr_delay_steps=0, lr_delay_mult=1.0) -> Callable:

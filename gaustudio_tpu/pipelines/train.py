@@ -368,7 +368,10 @@ def densify_and_prune(state: GaussianTrainState, key, extent, cfg: TrainConfig,
     new_opt = AdamState(
         mu={k: zero_rows(v) for k, v in state.opt.mu.items()},
         nu={k: zero_rows(v) for k, v in state.opt.nu.items()},
-        count=state.opt.count,
+        # restart bias correction for surgically changed rows (see
+        # AdamState.count: a stale count gives fresh rows 3-6.5x lr)
+        count={k: jnp.where(changed, 0, v)
+               for k, v in state.opt.count.items()},
     )
 
     info = {
@@ -398,10 +401,12 @@ def reset_opacity(state: GaussianTrainState):
     params["opacity"] = new_op
     mu = dict(state.opt.mu)
     nu = dict(state.opt.nu)
+    cnt = dict(state.opt.count)
     mu["opacity"] = jnp.zeros_like(mu["opacity"])
     nu["opacity"] = jnp.zeros_like(nu["opacity"])
-    return state._replace(params=params, opt=AdamState(mu=mu, nu=nu,
-                                                       count=state.opt.count))
+    cnt["opacity"] = jnp.zeros_like(cnt["opacity"])
+    return state._replace(params=params,
+                          opt=AdamState(mu=mu, nu=nu, count=cnt))
 
 
 @jax.jit
@@ -505,7 +510,7 @@ class Trainer:
                 opt=AdamState(
                     mu={k: grow(v) for k, v in s.opt.mu.items()},
                     nu={k: grow(v) for k, v in s.opt.nu.items()},
-                    count=s.opt.count,
+                    count={k: grow(v) for k, v in s.opt.count.items()},
                 ),
                 step=s.step,
                 xyz_grad_accum=grow(s.xyz_grad_accum),
@@ -620,8 +625,14 @@ def load_checkpoint(path: str) -> GaussianTrainState:
 
     ckpt = ocp.PyTreeCheckpointer()
     raw = ckpt.restore(os.path.abspath(path))
+    raw_count = raw["opt"]["count"]
+    if not isinstance(raw_count, dict):
+        # pre-r3 checkpoint: a single global step count — approximate the
+        # per-row restart state with the global value everywhere
+        raw_count = {k: jnp.full((v.shape[0],), int(raw_count), jnp.int32)
+                     for k, v in raw["opt"]["mu"].items()}
     opt = AdamState(mu=raw["opt"]["mu"], nu=raw["opt"]["nu"],
-                    count=jnp.asarray(raw["opt"]["count"]))
+                    count={k: jnp.asarray(v) for k, v in raw_count.items()})
     return GaussianTrainState(
         params={k: jnp.asarray(v) for k, v in raw["params"].items()},
         valid=jnp.asarray(raw["valid"]),

@@ -1,0 +1,70 @@
+"""Build (and cache) the at-scale multi-view capture on CPU.
+
+The capture (procedural textured mesh rendered from orbit rings with the
+JAX mesh rasterizer) does not need the TPU; building it in a CPU-pinned
+process keeps the single TPU claim free for the training run, and the
+.npz cache makes repeated training experiments start in seconds instead
+of ~9 minutes.
+
+NOTE the container's sitecustomize force-selects the axon TPU backend
+regardless of JAX_PLATFORMS; the config update below (the tests/conftest
+trick) must run before any backend init.
+
+Usage: python tools/make_atscale_capture.py [--size 512] [--views 64]
+Cache: /tmp/atscale_capture_{size}_{views}.npz
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def cache_path(size, views):
+    return f"/tmp/atscale_capture_{size}_{views}.npz"
+
+
+def load_capture(size, views):
+    """Return the cams (with .image set) for a cached capture, or None."""
+    from tools.train_at_scale import orbit_rings
+
+    path = cache_path(size, views)
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    cams = orbit_rings(size, views)
+    for i, cam in enumerate(cams):
+        cam.image = data[f"img{i}"]
+    return cams
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--views", type=int, default=64)
+    args = ap.parse_args()
+
+    from tools.train_at_scale import scene_mesh_large, orbit_rings, render_gt
+
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    t0 = time.perf_counter()
+    verts, faces = scene_mesh_large()
+    cams = orbit_rings(args.size, args.views)
+    images = render_gt(verts, faces, cams)
+    path = cache_path(args.size, args.views)
+    np.savez(path, size=args.size, views=args.views,
+             **{f"img{i}": im for i, im in enumerate(images)})
+    print(f"capture: {len(cams)} views {args.size}px -> {path} "
+          f"({time.perf_counter()-t0:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

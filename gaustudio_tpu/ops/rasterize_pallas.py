@@ -170,7 +170,8 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
         init = (
             jnp.zeros((), jnp.int32),  # chunk index
-            row(1.0),  # T
+            row(1.0),  # T (last APPLIED transmittance, always >= eps)
+            row(1.0),  # alive: sticky termination (forward.cu ``done``)
             row(0.0),  # r
             row(0.0),  # g
             row(0.0),  # b
@@ -182,8 +183,8 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         )
 
         def cond(state):
-            c, T = state[0], state[1]
-            return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
+            c, alive = state[0], state[2]
+            return (c < n_blocks) & (jnp.max(alive) > 0.0)
 
         def block_math(rows, c, slot, carry):
             """Composite ``rows`` entries of block ``c`` (rows = BLOCK for
@@ -191,7 +192,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             when its valid count allows — the math is identical, on a
             (rows, 256) workload, so half/quarter-empty boundary blocks
             cost proportionally less VPU time)."""
-            T, r, gg, b, d, md, mw, mi, nc = carry
+            T, alive, r, gg, b, d, md, mw, mi, nc = carry
             sub = subl[:rows]
             if flat_mode:
                 # roll the 512-lane window so the run's block starts at
@@ -247,7 +248,14 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             P_incl = T * cum
             one_m = 1.0 - alpha
             P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
-            applied = P_incl >= _TERM_EPS
+            # sticky termination (forward.cu:361-365): once the RAW
+            # cumulative product crosses eps the pixel never composites
+            # again. T carries the last applied value (>= eps), so gating
+            # on P_incl alone would resurrect the pixel at every block
+            # boundary — and the backward, which trusts n_contrib, would
+            # reconstruct 1/(1-alpha) factors for entries the forward
+            # skipped while dead (the at-scale training grad blow-up).
+            applied = (P_incl >= _TERM_EPS) & (alive > 0.0)
             w = jnp.where(applied, alpha * P_excl, 0.0)
 
             r = r + jnp.sum(w * col_r, axis=0, keepdims=True)
@@ -258,6 +266,10 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             T = jnp.minimum(
                 T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0, keepdims=True)
             )
+            # P_incl is monotone non-increasing down the block, so its
+            # column min is the end-of-block raw product
+            alive = alive * (jnp.min(P_incl, axis=0, keepdims=True)
+                             >= _TERM_EPS).astype(jnp.float32)
 
             if with_median:
                 # median-depth trio (the 0.5-crossing entry): skipped when
@@ -274,7 +286,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             pos1 = (pos + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0, keepdims=True))
 
-            return (T, r, gg, b, d, md, mw, mi, nc)
+            return (T, alive, r, gg, b, d, md, mw, mi, nc)
 
         def body(state):
             c = state[0]
@@ -307,7 +319,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)
-        c_fin, T, r, gg, b, d, md, mw, mi, nc = state
+        c_fin, T, _alive, r, gg, b, d, md, mw, mi, nc = state
 
         # early T-saturation exit leaves the block-(c_fin) prefetch in
         # flight; drain it so its semaphore signal cannot be mistaken for a
@@ -452,7 +464,8 @@ def _composite_fast_bwd(grid_x, grid_y, chunk, with_median, need_grads, res,
     (means2d, conic, colors, depths, opacities, bg, binned,
      final_T, n_contrib) = res
 
-    if jax.devices()[0].platform != "cpu":
+    use_xla_bwd = __import__("os").environ.get("GS_BWD_XLA", "0") == "1"
+    if jax.devices()[0].platform != "cpu" and not use_xla_bwd:
         # Pallas reverse-walk kernel + sorted segmented reduction
         from gaustudio_tpu.ops import rasterize_pallas_bwd as BW
 

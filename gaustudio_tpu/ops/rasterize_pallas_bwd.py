@@ -581,17 +581,33 @@ def reduce_entry_grads(grads_flat, binned: BinnedBlocks, num_gaussians: int):
     slot_key = binned.flat_entries[12].astype(jnp.int32)
 
     cols = tuple(grads_flat[a] for a in range(10))
-    sorted_ops = jax.lax.sort((slot_key,) + cols, num_keys=1, is_stable=True)
-    table = jnp.concatenate(
-        [
-            jnp.stack(sorted_ops[1:], axis=0),
-            jnp.zeros((NUM_ATTRS - 10, slot_key.shape[0]), jnp.float32),
-        ],
-        axis=0,
-    )  # [16, K] slot-ordered
-    sums_c = segment_reduce_compact(
-        table, binned.slot_gauss, binned.slot_gauss[::BLOCK], num_gaussians
-    )  # [N, 16] compact order
+    if __import__("os").environ.get("GS_SEG_XLA", "0") == "1":
+        # diagnostic fallback: gather + segment_sum (seconds-slow at entry
+        # scale on XLA-TPU, but bypasses the Pallas segreduce entirely)
+        gauss_of_entry = binned.slot_gauss[slot_key]
+        sums_c = jax.ops.segment_sum(
+            jnp.stack(cols, axis=1), gauss_of_entry,
+            num_segments=num_gaussians,
+        )
+        sums_c = jnp.concatenate(
+            [sums_c,
+             jnp.zeros((num_gaussians, NUM_ATTRS - 10), jnp.float32)],
+            axis=1,
+        )
+    else:
+        sorted_ops = jax.lax.sort(
+            (slot_key,) + cols, num_keys=1, is_stable=True)
+        table = jnp.concatenate(
+            [
+                jnp.stack(sorted_ops[1:], axis=0),
+                jnp.zeros((NUM_ATTRS - 10, slot_key.shape[0]), jnp.float32),
+            ],
+            axis=0,
+        )  # [16, K] slot-ordered
+        sums_c = segment_reduce_compact(
+            table, binned.slot_gauss, binned.slot_gauss[::BLOCK],
+            num_gaussians
+        )  # [N, 16] compact order
     # compact -> original id (a permutation; one small unique scatter)
     sums = jnp.zeros((num_gaussians, NUM_ATTRS), jnp.float32).at[
         binned.compact_gid

@@ -142,6 +142,16 @@ def _composite_fwd_impl(grid_x, grid_y, chunk, means2d, conic, colors,
 
     init = dict(
         T=jnp.ones((T1, TILE_PIXELS), jnp.float32),
+        # sticky per-pixel termination (forward.cu:361-365's ``done`` flag).
+        # T carries the last APPLIED transmittance (always >= eps); without
+        # the flag a pixel whose cumulative product crossed eps inside one
+        # chunk would resume compositing in the next chunk (T_carry >= eps
+        # restarts the product), applying entries the CUDA semantics skips.
+        # The backward reconstructs T by re-multiplying 1/(1-alpha) over ALL
+        # alpha>0 entries below n_contrib, so any skipped-yet-counted
+        # stretch with opaque entries inflates its reconstruction by
+        # 1/(1-alpha) per entry — the at-scale training grad blow-up.
+        alive=jnp.ones((T1, TILE_PIXELS), jnp.bool_),
         C=jnp.zeros((T1, TILE_PIXELS, 3), jnp.float32),
         D=jnp.zeros((T1, TILE_PIXELS), jnp.float32),
         med_d=jnp.full((T1, TILE_PIXELS), _MEDIAN_DEFAULT, jnp.float32),
@@ -171,7 +181,7 @@ def _composite_fwd_impl(grid_x, grid_y, chunk, means2d, conic, colors,
         T_carry = state["T"][t]  # (C, 256)
         P_incl = T_carry * segprod
         P_excl = jnp.where(alpha > 0.0, P_incl / (1.0 - alpha), P_incl)
-        applied = P_incl >= _TERM_EPS
+        applied = (P_incl >= _TERM_EPS) & state["alive"][t]
         w = jnp.where(applied, alpha * P_excl, 0.0)
 
         seg = lambda data: jax.ops.segment_sum(
@@ -185,6 +195,13 @@ def _composite_fwd_impl(grid_x, grid_y, chunk, means2d, conic, colors,
             indices_are_sorted=True,
         )
         state["T"] = jnp.minimum(state["T"], T_min)
+        # once the raw cumulative product crosses eps anywhere in the
+        # chunk's segment the pixel is done for good (P_incl is monotone
+        # within a segment, so its segment-min is the end-of-chunk value)
+        P_end = jax.ops.segment_min(
+            P_incl, t, num_segments=T1, indices_are_sorted=True
+        )
+        state["alive"] = state["alive"] & (P_end >= _TERM_EPS)
 
         cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
         crossed = seg(cross.astype(jnp.float32)) > 0.0

@@ -232,6 +232,8 @@ def composite_surfel(grid_x, grid_y, chunk, pre: SurfelPre, binned) -> SurfelOut
 
     init = dict(
         T=jnp.ones((T1, TILE_PIXELS), jnp.float32),
+        # sticky per-pixel termination (see rasterize_ref._composite_fwd_impl)
+        alive=jnp.ones((T1, TILE_PIXELS), jnp.bool_),
         C=jnp.zeros((T1, TILE_PIXELS, 3), jnp.float32),
         D=jnp.zeros((T1, TILE_PIXELS), jnp.float32),
         Nrm=jnp.zeros((T1, TILE_PIXELS, 3), jnp.float32),
@@ -264,7 +266,7 @@ def composite_surfel(grid_x, grid_y, chunk, pre: SurfelPre, binned) -> SurfelOut
         T_carry = state["T"][t]
         P_incl = T_carry * segprod
         P_excl = jnp.where(alpha > 0.0, P_incl / (1.0 - alpha), P_incl)
-        applied = P_incl >= _TERM_EPS
+        applied = (P_incl >= _TERM_EPS) & state["alive"][t]
         w = jnp.where(applied, alpha * P_excl, 0.0)
 
         seg = lambda data: jax.ops.segment_sum(
@@ -281,6 +283,10 @@ def composite_surfel(grid_x, grid_y, chunk, pre: SurfelPre, binned) -> SurfelOut
             indices_are_sorted=True,
         )
         state["T"] = jnp.minimum(state["T"], T_min)
+        P_end = jax.ops.segment_min(
+            P_incl, t, num_segments=T1, indices_are_sorted=True
+        )
+        state["alive"] = state["alive"] & (P_end >= _TERM_EPS)
 
         cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
         crossed = seg(cross.astype(jnp.float32)) > 0.0

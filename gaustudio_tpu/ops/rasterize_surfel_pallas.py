@@ -290,7 +290,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         row = lambda v: jnp.full((1, TILE_PIXELS), v, jnp.float32)
         init = (
             jnp.zeros((), jnp.int32),
-            row(1.0),  # T
+            row(1.0),  # T (last APPLIED transmittance, always >= eps)
+            row(1.0),  # alive: sticky termination (see rasterize_pallas)
             row(0.0), row(0.0), row(0.0),  # rgb
             row(0.0),  # D (== m1)
             row(0.0), row(0.0), row(0.0),  # normal
@@ -302,14 +303,14 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         )
 
         def cond(state):
-            c, T = state[0], state[1]
-            return (c < n_blocks) & (jnp.max(T) >= _TERM_EPS)
+            c, alive = state[0], state[2]
+            return (c < n_blocks) & (jnp.max(alive) > 0.0)
 
         def block_math(rows, c, slot, carry):
             # boundary fast path twin of rasterize_pallas._composite_kernel:
             # a tile's LAST block runs a (rows=128, 256) instance when its
             # valid count allows, halving the VPU work of half-empty blocks
-            (T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = carry
+            (T, alive, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = carry
             sub = subl[:rows]
             if flat_mode:
                 off = b0 + c * BLOCK - flat_anchor(b0, c)
@@ -378,7 +379,12 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             P_incl = T * cum
             one_m = 1.0 - alpha
             P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
-            applied = P_incl >= _TERM_EPS
+            # sticky termination: without the alive gate a saturated pixel
+            # resurrects at block boundaries (T carries the last APPLIED
+            # value >= eps), inflating n_contrib past entries the forward
+            # skipped — which the nc-trusting backward then wrongly folds
+            # into its 1/(1-alpha) transmittance reconstruction
+            applied = (P_incl >= _TERM_EPS) & (alive > 0.0)
             w = jnp.where(applied, alpha * P_excl, 0.0)
 
             r = r + jnp.sum(w * col_r, axis=0, keepdims=True)
@@ -394,6 +400,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0,
                            keepdims=True)
             )
+            alive = alive * (jnp.min(P_incl, axis=0, keepdims=True)
+                             >= _TERM_EPS).astype(jnp.float32)
 
             if with_median:
                 # median trio (0.5-crossing): skipped in training, whose
@@ -418,7 +426,7 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             pos1 = (c * BLOCK + sub + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
                                          keepdims=True))
-            return (T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
+            return (T, alive, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
 
         def body(state):
             c = state[0]
@@ -446,7 +454,7 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)
-        c_fin, T, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc = state
+        c_fin, T, _alive, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc = state
 
         @pl.when((c_fin > 0) & (c_fin < n_blocks))
         def _():

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--iters", type=int, default=1400)
     ap.add_argument("--init_points", type=int, default=12000)
     ap.add_argument("--watch_from", type=int, default=1)
+    ap.add_argument("--watch_every", type=int, default=10)
+    ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU/XLA (isolates recipe bugs from the "
                          "Pallas kernels; sitecustomize otherwise routes "
@@ -97,7 +99,7 @@ def main():
         lr_xyz_final=0.0000016 * 3.5,
         lr_xyz_max_steps=7000,
     )
-    trainer = T.Trainer(pcd, _DS(train_cams), cfg, capacity=1 << 17)
+    trainer = T.Trainer(pcd, _DS(train_cams), cfg, capacity=args.capacity)
 
     # ---- instrumented loop (mirrors Trainer.train, adds host checks) ----
     from gaustudio_tpu.pipelines.dataloader import make_batch_source
@@ -136,7 +138,8 @@ def main():
             did_densify = True
             trainer.maybe_grow_capacity()
 
-        if it >= args.watch_from and (it % 10 == 0 or did_densify):
+        if it >= args.watch_from and (it % args.watch_every == 0
+                                      or did_densify):
             s = trainer.state
             # host sync: check accum + params
             accum = np.asarray(s.xyz_grad_accum)
@@ -166,7 +169,7 @@ def main():
                         f"grad_med {float(dinfo['grad_med']):.5f}")
             print(msg, flush=True)
 
-            if n_nonfinite > 0 or (ratio.size and ratio.max() > 1e4):
+            if n_nonfinite > 0 or (ratio.size and ratio.max() > 1e3):
                 dump = {
                     "iter": it,
                     "params": {k: np.asarray(v) for k, v in s.params.items()},
@@ -175,16 +178,19 @@ def main():
                     "denom": denom,
                     "batch": {f: np.asarray(getattr(batch, f))
                               for f in batch._fields},
+                    "active_sh_degree": int(np.asarray(s.active_sh_degree)),
                 }
                 if state_before is not None:
                     dump["params_before"] = {
                         k: np.asarray(v)
                         for k, v in state_before.params.items()}
                     dump["valid_before"] = np.asarray(state_before.valid)
-                with open("/tmp/blowup_dump.pkl", "wb") as f:
-                    pickle.dump(dump, f)
-                print(f"ANOMALY at iter {it}: dumped /tmp/blowup_dump.pkl",
-                      flush=True)
+                if prev_dump is None:  # keep only the FIRST anomaly state
+                    prev_dump = dump
+                    with open("/tmp/blowup_dump.pkl", "wb") as f:
+                        pickle.dump(dump, f)
+                    print(f"ANOMALY at iter {it}: dumped "
+                          f"/tmp/blowup_dump.pkl", flush=True)
                 if n_nonfinite > 0:
                     break
     next_batch.close()

@@ -66,7 +66,14 @@ def orbit_camera(elevation, azimuth, radius=1, is_degree=True, target=None,
 
 def get_path_from_orbit(cam_center, cam_radius, elevation=0, num_cam=36,
                         image_size=1024, fov_deg=49.1) -> List[Camera]:
-    """camera_paths.py:89-102: num_cam azimuth steps around the target."""
+    """camera_paths.py:89-102: num_cam azimuth steps around the target.
+
+    NB the reference passes the RAW w2c rotation to ``Camera(R=...)``,
+    but the Inria camera convention (datasets/utils.py:113-118
+    getWorld2View2) stores R as the c2w rotation — so the reference's
+    orbit cameras end up with transposed orientations: still radius-r
+    views of the target, but at scrambled elevations (a nominal
+    12-degree ring dips to -12). Fixed here: R = w2c^T."""
     cameras = []
     for _id, azi in enumerate(np.arange(0, 360, 360 // num_cam, dtype=np.int32)):
         pose = orbit_camera(elevation, float(azi), radius=cam_radius,
@@ -74,7 +81,7 @@ def get_path_from_orbit(cam_center, cam_radius, elevation=0, num_cam=36,
         w2c = np.linalg.inv(pose)
         R, T = w2c[:3, :3], w2c[:3, 3]
         cameras.append(
-            Camera(R=np.transpose(R.T), T=T, FoVx=math.radians(fov_deg),
+            Camera(R=np.transpose(R), T=T, FoVx=math.radians(fov_deg),
                    FoVy=math.radians(fov_deg), image_name=f"{_id}",
                    image_width=image_size, image_height=image_size)
         )
@@ -101,7 +108,7 @@ def get_path_from_cubemap(cam_center, cam_radius, image_size=1024) -> List[Camer
         T[:3, 1] *= -1
         w2c = np.linalg.inv(T)
         cameras.append(
-            Camera(R=w2c[:3, :3].T.T, T=w2c[:3, 3], FoVx=math.radians(49.1),
+            Camera(R=w2c[:3, :3].T, T=w2c[:3, 3], FoVx=math.radians(49.1),
                    FoVy=math.radians(49.1), image_name=name,
                    image_width=image_size, image_height=image_size)
         )

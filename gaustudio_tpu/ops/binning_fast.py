@@ -693,6 +693,36 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     dep_row = sorted_ops[1]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
+    if pack_geo and not realign:
+        # PACKED FLAT TABLE (inference fast path): the sorted payload
+        # operands become the compositor's input table VERBATIM — no
+        # post-sort unpack pass, no 16-row f32 stack (both were full HBM
+        # round trips over K), and the flat-mode kernel window DMA moves
+        # half the bytes. Rows (int32): 0:(dx,dy) f16 pair (tile-relative
+        # means) 1:(ca,cb)*2^14 f16 pair 2:conic_c f32 bits 3:(r,g)
+        # 4:(b,opacity) 5:depth f32 bits 6:gid f32 bits 7:pad. The
+        # compositor decodes halves in-kernel (shift+scale bitcast trick).
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        gid_packed = bc(sorted_ops[7]) if carry_gid else jnp.zeros(
+            (K,), jnp.int32)
+        flat_entries = jnp.stack(
+            [sorted_ops[2], sorted_ops[3], bc(sorted_ops[4]),
+             sorted_ops[5], sorted_ops[6], bc(dep_row), gid_packed,
+             jnp.zeros((K,), jnp.int32)],
+            axis=0,
+        )  # [8, K] int32
+        pos = tile_ranges(sort_tile, num_tiles)
+        return BinnedBlocks(
+            flat_entries=flat_entries,
+            aligned_blocks=jnp.zeros((0, NUM_ATTRS, BLOCK), jnp.float32),
+            tile_start=pos[:num_tiles],
+            tile_count=pos[1:] - pos[:-1],
+            ablock_start=jnp.zeros((num_tiles,), jnp.int32),
+            sorted_tile=sort_tile,
+            num_rendered=total,
+            slot_gauss=g.astype(jnp.int32),
+            compact_gid=jnp.arange(n, dtype=jnp.int32),
+        )
     if pack_geo:
         tile_f = sort_tile.astype(jnp.float32)
         tyf = jnp.floor(tile_f / jnp.float32(grid_x))

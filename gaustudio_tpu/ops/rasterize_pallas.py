@@ -92,11 +92,33 @@ _FLAT_WIN = 4 * 128  # flat-mode window lanes: 256-entry block at any
 # 128-misaligned offset, plus slack so the end-of-table clamp keeps
 # off + 256 <= window (K is a 256-multiple)
 
+_PACKED_ROWS = 8  # packed flat table height (binning_fast packed mode)
+_CONIC_INV = 1.0 / 16384.0  # matches binning_fast._CONIC_SCALE
+
+
+def _half_bits_to_f32(h):
+    """Decode IEEE f16 bit patterns (int32, low 16 bits) to f32 without
+    relying on Mosaic f16 support: shift the magnitude into the f32 layout
+    and rescale by 2^112 (the exponent-bias delta). Exact for normal
+    halves; f16 subnormals (<6.1e-5) decode through f32 denormals, which
+    TPU flushes to zero — irrelevant at the packed values' scales."""
+    mag = (h & jnp.int32(0x7FFF)) << 13
+    f = jax.lax.bitcast_convert_type(mag, jnp.float32) * jnp.float32(2.0 ** 112)
+    return jnp.where((h & jnp.int32(0x8000)) != 0, -f, f)
+
+
+def _half_lo(u):
+    return _half_bits_to_f32(u & jnp.int32(0xFFFF))
+
+
+def _half_hi(u):
+    return _half_bits_to_f32((u >> 16) & jnp.int32(0xFFFF))
+
 
 def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int,
                       with_median: bool = True, flat_mode: bool = False,
-                      k_total: int = 0):
+                      k_total: int = 0, packed: bool = False):
     """Tile compositor.
 
     Aligned mode (default): consumes realigned [NB, 16, 256] blocks.
@@ -201,39 +223,65 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 rolled = pltpu.roll(
                     scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
                 )
-                blk = rolled[:, :rows].T  # (16, rows) -> (rows, 16)
+                blk = rolled[:, :rows].T  # (n_rows, rows) -> (rows, n_rows)
             else:
                 blk = scratch[slot][:, :rows].T  # (16, rows) -> (rows, 16)
 
-            mx = blk[:, 0:1]
-            my = blk[:, 1:2]
-            ca = blk[:, 2:3]
-            cb = blk[:, 3:4]
-            cc = blk[:, 4:5]
-            op = blk[:, 5:6]
-            col_r = blk[:, 6:7]
-            col_g = blk[:, 7:8]
-            col_b = blk[:, 8:9]
-            dep = blk[:, 9:10]
-            gid = blk[:, 10:11]
-            vld = blk[:, 11:12]
-
-            if COMP_DOT3:
-                power = _power_dot3(mx - tx * TILE_X, my - ty * TILE_Y,
-                                    ca, cb, cc, G_basis)
-            else:
-                dx = mx - px  # (rows, 256): entries x pixels
-                dy = my - py
+            if packed:
+                # in-kernel decode of the packed int32 flat table (see
+                # binning_fast packed mode): f16 halves via shift+rescale,
+                # f32 rows via bitcast. Means are TILE-RELATIVE (dx =
+                # mx - 16*tx), so the pixel delta needs only the local
+                # (qx, qy) — no absolute coordinate reconstruction.
+                bcf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+                dxr = _half_lo(blk[:, 0:1])
+                dyr = _half_hi(blk[:, 0:1])
+                ca = _half_lo(blk[:, 1:2]) * _CONIC_INV
+                cb = _half_hi(blk[:, 1:2]) * _CONIC_INV
+                cc = bcf(blk[:, 2:3])
+                col_r = _half_lo(blk[:, 3:4])
+                col_g = _half_hi(blk[:, 3:4])
+                col_b = _half_lo(blk[:, 4:5])
+                op = _half_hi(blk[:, 4:5])
+                dep = bcf(blk[:, 5:6])
+                gid = bcf(blk[:, 6:7])
+                dx = dxr - qx  # (rows, 256): entries x pixels
+                dy = dyr - qy
                 power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            else:
+                mx = blk[:, 0:1]
+                my = blk[:, 1:2]
+                ca = blk[:, 2:3]
+                cb = blk[:, 3:4]
+                cc = blk[:, 4:5]
+                op = blk[:, 5:6]
+                col_r = blk[:, 6:7]
+                col_g = blk[:, 7:8]
+                col_b = blk[:, 8:9]
+                dep = blk[:, 9:10]
+                gid = blk[:, 10:11]
+                vld = blk[:, 11:12]
+
+                if COMP_DOT3:
+                    power = _power_dot3(mx - tx * TILE_X, my - ty * TILE_Y,
+                                        ca, cb, cc, G_basis)
+                else:
+                    dx = mx - px  # (rows, 256): entries x pixels
+                    dy = my - py
+                    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
             pos = c * BLOCK + sub  # position within the (aligned) tile run
             # aligned mode: realign zeroes padding rows (vld = 0); flat
-            # mode: rows past the run's end hold the NEXT tile's (valid)
-            # entries, so mask by the true count explicitly
-            dead = (power > 0.0) | (alpha < _ALPHA_MIN) | (vld < 0.5)
+            # mode: every entry inside a tile's run is valid by
+            # construction (culled entries sort after all real tiles), and
+            # rows past the run's end hold the NEXT tile's entries, so
+            # masking by the true count replaces the valid row entirely
+            dead = (power > 0.0) | (alpha < _ALPHA_MIN)
             if flat_mode:
                 dead = dead | (pos >= count)
+            else:
+                dead = dead | (vld < 0.5)
             alpha = jnp.where(dead, 0.0, alpha)
 
             # sublane-axis (entry-axis) inclusive prefix product
@@ -245,9 +293,12 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 cum = cum * shifted
                 sft *= 2
 
+            # exclusive prefix = inclusive rolled down one entry (row 0
+            # reads 1): two cheap vector ops replace the (rows, 256)
+            # divide P_incl/(1-alpha) of the direct formulation
+            exc = jnp.where(sub < 1, 1.0, pltpu.roll(cum, 1, axis=0))
             P_incl = T * cum
-            one_m = 1.0 - alpha
-            P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
+            P_excl = T * exc
             # sticky termination (forward.cu:361-365): once the RAW
             # cumulative product crosses eps the pixel never composites
             # again. T carries the last applied value (>= eps), so gating
@@ -361,7 +412,9 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
     ablock_start = jnp.pad(start, (0, pad))
     tile_count = jnp.pad(binned.tile_count, (0, pad))
     k_total = binned.flat_entries.shape[1]
+    packed = use_flat and binned.flat_entries.dtype == jnp.int32
     win = _FLAT_WIN if use_flat else BLOCK
+    n_rows = binned.flat_entries.shape[0] if packed else NUM_ATTRS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(padded // tiles_per_prog,),
@@ -370,13 +423,14 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
             (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, NUM_ATTRS, win), jnp.float32),
+            pltpu.VMEM((4, n_rows, win),
+                       jnp.int32 if packed else jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = partial(_composite_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog, with_median=with_median,
-                     flat_mode=use_flat, k_total=k_total)
+                     flat_mode=use_flat, k_total=k_total, packed=packed)
     data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,

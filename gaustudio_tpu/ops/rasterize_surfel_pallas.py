@@ -346,8 +346,10 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             s1 = hu[2] * hv[0] - hu[0] * hv[2]
             s2 = hu[0] * hv[1] - hu[1] * hv[0]
             sz = jnp.where(jnp.abs(s2) < 1e-9, 1e-9, s2)
-            u = s0 / sz
-            v = s1 / sz
+            # one reciprocal + two muls instead of two (rows, 256) divides
+            rz = 1.0 / sz
+            u = s0 * rz
+            v = s1 * rz
             rho3d = u * u + v * v
 
             dx = cx - px
@@ -360,11 +362,14 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             alpha = jnp.minimum(_ALPHA_MAX, op * G)
             # 2D-branch depth = center depth (reference 2DGS semantics)
             depth = jnp.where(use3d, dk0 * u + dk1 * v + dk2, dk2)
-            dead = (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN) | (vld < 0.5)
+            dead = (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN)
             if flat_mode:
-                # flat runs: rows past the tile's count hold the NEXT
-                # tile's valid entries — mask explicitly
+                # flat runs contain only valid entries (culled ones sort
+                # after all real tiles); rows past the tile's count hold
+                # the NEXT tile's entries — mask by count, not by vld
                 dead = dead | (c * BLOCK + sub >= count_ref[t])
+            else:
+                dead = dead | (vld < 0.5)
             alpha = jnp.where(dead, 0.0, alpha)
 
             # entry-axis inclusive prefix product of (1 - alpha)
@@ -376,9 +381,11 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 cum = cum * shifted
                 sft *= 2
 
+            # exclusive prefix via a one-entry roll (see rasterize_pallas):
+            # replaces the (rows, 256) divide P_incl/(1-alpha)
+            exc = jnp.where(sub < 1, 1.0, pltpu.roll(cum, 1, axis=0))
             P_incl = T * cum
-            one_m = 1.0 - alpha
-            P_excl = jnp.where(alpha > 0.0, P_incl / one_m, P_incl)
+            P_excl = T * exc
             # sticky termination: without the alive gate a saturated pixel
             # resurrects at block boundaries (T carries the last APPLIED
             # value >= eps), inflating n_contrib past entries the forward

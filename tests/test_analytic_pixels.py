@@ -20,6 +20,7 @@ Conventions verified (all per the reference CUDA):
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -183,6 +184,178 @@ def test_off_center_anisotropic_gaussian():
         np.testing.assert_allclose(fin_op[py, px], al, atol=1e-5)
         checked += al > 0
     assert checked >= 3  # the gaussian must actually cover the probes
+
+
+def _two_entry_fixture():
+    """Two on-axis isotropic splats covering one 16x16 tile, with every
+    per-pixel quantity reachable by closed form. Entry 1 (z=2, front)
+    crosses the 0.5-transmittance boundary at central pixels."""
+    z = np.array([2.0, 5.0], np.float32)
+    op = np.array([0.7, 0.6], np.float32)
+    aa = np.array([0.16, 0.05], np.float32)  # isotropic conic diagonals
+    mean = np.array([[7.5, 7.5], [8.5, 7.5]], np.float32)
+    cols = np.array([[0.9, 0.2, 0.1], [0.1, 0.5, 0.8]], np.float32)
+    bg = np.array([0.25, 0.5, 0.75], np.float32)
+    return z, op, aa, mean, cols, bg
+
+
+def _hand_grads(z, op, aa, mean, cols, bg, gC, gD, gT, gM):
+    """Closed-form gradients of L = sum_px [gC.C + gD*D + gT*T_fin +
+    gM*median_depth] w.r.t. (colors, depths, opacities), derived BY HAND
+    from the published compositing math — no repo code involved.
+
+    Forward (forward.cu:345-375): C = sum_i c_i a_i T_i with
+    T_1 = 1, T_{i+1} = T_i (1 - a_i); D likewise with z_i; the median
+    entry is the first with T_i > 0.5 and T_{i+1} < 0.5.
+    Backward (backward.cu:566-569): the median cotangent adds DIRECTLY to
+    the crossing entry's depth gradient (not through alpha);
+    (backward.cu:584-587): every applied entry's alpha gradient gains
+    -T_final / (1 - a_i) * dot(bg, gC) even though bg is not composited
+    in the forward.
+    """
+    d_col = np.zeros((2, 3), np.float64)
+    d_z = np.zeros(2, np.float64)
+    d_op = np.zeros(2, np.float64)
+    for py in range(16):
+        for px in range(16):
+            g = np.array([gc[py, px] for gc in gC])  # (3,)
+            gd, gt, gm = gD[py, px], gT[py, px], gM[py, px]
+            G1 = np.exp(-0.5 * aa[0] * ((mean[0, 0] - px) ** 2 + (mean[0, 1] - py) ** 2))
+            G2 = np.exp(-0.5 * aa[1] * ((mean[1, 0] - px) ** 2 + (mean[1, 1] - py) ** 2))
+            a1, a2 = op[0] * G1, op[1] * G2
+            s1, s2 = a1 >= 1 / 255.0, a2 >= 1 / 255.0  # skip rule
+            a1, a2 = a1 * s1, a2 * s2
+            Tf = (1 - a1) * (1 - a2)
+            bgdot = float(bg @ g)
+            # colors: dC/dc_i = a_i T_i
+            d_col[0] += g * a1
+            d_col[1] += g * a2 * (1 - a1)
+            # depths: expected-depth chain + the median routing rule
+            cross1 = s1 and (1 - a1) < 0.5  # T_excl = 1 > 0.5 always
+            cross2 = s2 and (1 - a1) > 0.5 and Tf < 0.5
+            d_z[0] += gd * a1 + gm * cross1
+            d_z[1] += gd * a2 * (1 - a1) + gm * cross2
+            # alphas: dC/da, dD/da, dTf/da + the bg term; then da/dop = G
+            if s1:
+                dL_da1 = (g @ (cols[0] - cols[1] * a2)
+                          + gd * (z[0] - z[1] * a2)
+                          + gt * -(1 - a2)
+                          - Tf / (1 - a1) * bgdot)
+                d_op[0] += dL_da1 * G1
+            if s2:
+                dL_da2 = (g @ cols[1] * (1 - a1)
+                          + gd * z[1] * (1 - a1)
+                          + gt * -(1 - a1)
+                          - Tf / (1 - a2) * bgdot)
+                d_op[1] += dL_da2 * G2
+    return d_col, d_z, d_op
+
+
+def test_gradient_routing_median_and_bg_xla():
+    """Analytic gradient vectors through the XLA golden backward: median
+    cotangent routes to the crossing entry's depth; the bg term reaches
+    every applied entry's opacity."""
+    from gaustudio_tpu.ops import rasterize_ref
+
+    z, op, aa, mean, cols, bg = _two_entry_fixture()
+    rng = np.random.default_rng(11)
+    gC = [rng.normal(size=(16, 16)).astype(np.float32) for _ in range(3)]
+    gD = rng.normal(size=(16, 16)).astype(np.float32)
+    gT = rng.normal(size=(16, 16)).astype(np.float32)
+    gM = rng.normal(size=(16, 16)).astype(np.float32)
+
+    K = 512
+    gid = jnp.asarray(np.array([0, 1] + [0] * (K - 2), np.int32))
+    tile = jnp.asarray(np.array([0, 0] + [1] * (K - 2), np.int32))
+    valid = jnp.asarray(np.array([1, 1] + [0] * (K - 2), bool))
+    tile_start = jnp.zeros((1,), jnp.int32)
+    conic = jnp.asarray(np.stack([aa, np.zeros(2, np.float32), aa], 1))
+
+    # cotangent images in tile-major (T+1, 256[, C]) layout, tile 0 only
+    def tilemaj(img):
+        return jnp.asarray(
+            np.stack([img.reshape(-1), np.zeros(256, np.float32)]))
+
+    ctC = jnp.stack([tilemaj(c) for c in gC], axis=-1)
+
+    def loss(colors, depths, opac):
+        out = rasterize_ref.composite(
+            1, 1, 256, jnp.asarray(mean), conic, colors, depths, opac,
+            jnp.asarray(bg), gid, tile, valid, tile_start,
+        )
+        return (jnp.sum(out.color * ctC)
+                + jnp.sum(out.depth * tilemaj(gD))
+                + jnp.sum(out.final_T * tilemaj(gT))
+                + jnp.sum(out.median_depth * tilemaj(gM)))
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(cols), jnp.asarray(z), jnp.asarray(op))
+    want = _hand_grads(z, op, aa, mean, cols, bg, gC, gD, gT, gM)
+    for name, a, b in zip(("colors", "depths", "opac"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_gradient_routing_median_and_bg_pallas_interpret():
+    """The same analytic vectors through the full Pallas path: fast
+    binning + Pallas forward + the Pallas reverse-walk backward kernel
+    (interpret mode) + the entry-grad reduction."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gaustudio_tpu.ops import binning_fast, gaussian, rasterize_pallas
+    from gaustudio_tpu.ops import rasterize_pallas_bwd as BW
+
+    z, op, aa, mean, cols, bg = _two_entry_fixture()
+    rng = np.random.default_rng(12)
+    gC = [rng.normal(size=(16, 16)).astype(np.float32) for _ in range(3)]
+    gD = rng.normal(size=(16, 16)).astype(np.float32)
+    gT = rng.normal(size=(16, 16)).astype(np.float32)
+    gM = rng.normal(size=(16, 16)).astype(np.float32)
+
+    two = lambda *vals: jnp.asarray(np.array(vals))
+    pre = gaussian.Preprocessed(
+        valid=jnp.asarray(np.array([True, True])),
+        depths=jnp.asarray(z),
+        means2d=jnp.asarray(mean),
+        conic=jnp.asarray(np.stack([aa, np.zeros(2, np.float32), aa], 1)),
+        opacities=jnp.asarray(op),
+        colors=jnp.asarray(cols),
+        radii=two(8, 8).astype(jnp.int32),
+        rect_min=jnp.zeros((2, 2), jnp.int32),
+        rect_max=jnp.ones((2, 2), jnp.int32),
+        tiles_touched=two(1, 1).astype(jnp.int32),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        binned = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(p, 1, 1, 4096)
+        )(pre)
+        packed = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(b, 1, 1)
+        )(binned)
+        ct_tiles = jnp.concatenate(
+            [
+                jnp.stack([jnp.asarray(c.reshape(1, -1)) for c in gC], 1),
+                jnp.asarray(gD.reshape(1, 1, -1)),
+                jnp.asarray(-gT.reshape(1, 1, -1)),  # dL/d(1-T) convention
+                jnp.asarray(gM.reshape(1, 1, -1)),
+                packed[:, 7:8, :],
+                packed[:, 8:9, :],
+            ],
+            axis=1,
+        )
+        grad_blocks = jax.jit(
+            lambda b, c: BW.composite_backward_pallas(b, c, jnp.asarray(bg),
+                                                      1, 1)
+        )(binned, ct_tiles)
+        got = BW.reduce_entry_grads(grad_blocks, binned, 2)
+
+    want = _hand_grads(z, op, aa, mean, cols, bg, gC, gD, gT, gM)
+    np.testing.assert_allclose(np.asarray(got[2]), want[0], rtol=2e-4,
+                               atol=2e-4, err_msg="colors")
+    np.testing.assert_allclose(np.asarray(got[3]), want[1], rtol=2e-4,
+                               atol=2e-4, err_msg="depths")
+    np.testing.assert_allclose(np.asarray(got[4]), want[2], rtol=2e-4,
+                               atol=2e-4, err_msg="opac")
 
 
 def test_single_gaussian_centered_pallas_interpret():

@@ -368,6 +368,78 @@ def test_pack_geo_inference_close(preprocessed, monkeypatch):
     assert np.mean(np.abs(packed[:, 0:3] - exact[:, 0:3])) < 4e-4
 
 
+def test_packed_flat_matches_aligned_packed(preprocessed, monkeypatch):
+    """The packed int32 flat table (inference default: sorted payload
+    operands consumed verbatim, f16 halves decoded in-kernel) must be
+    BIT-IDENTICAL to the aligned pipeline running with the same f16/geo
+    packing: the f16 rounding happens once on the XLA side either way,
+    the kernel decode is exact for normal halves, and tile-relative
+    (dx - qx) equals the aligned kernel's (mx - px) exactly in f32."""
+    monkeypatch.setattr(binning_fast, "PACK_F16", True)
+    monkeypatch.setattr(binning_fast, "PACK_GEO", True)
+    pre, st = preprocessed
+    gx = (st.image_width + 15) // 16
+    gy = (st.image_height + 15) // 16
+
+    with _interp():
+        ab = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(
+                p, gx, gy, 4096, carry_gid=True, carry_slot=False,
+                realign=True,
+            )
+        )(pre)
+        aligned = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(b, gx, gy)
+        )(ab)
+        pb = jax.jit(
+            lambda p: binning_fast.bin_gaussians_fast(
+                p, gx, gy, 4096, carry_gid=True, carry_slot=False,
+                realign=False,
+            )
+        )(pre)
+        assert pb.flat_entries.dtype == jnp.int32
+        assert pb.flat_entries.shape[0] == 8
+        flat = jax.jit(
+            lambda b: rasterize_pallas.composite_pallas(
+                b, gx, gy, use_flat=True
+            )
+        )(pb)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(aligned))
+
+
+def test_rasterize_inference_packed_close(preprocessed):
+    """Top-level rasterize() inference (backend=pallas, need_grads=False →
+    packed flat pipeline) matches the XLA golden within the documented
+    f16-packing tolerance."""
+    from gaustudio_tpu.ops import rasterize as R
+    from tests.test_rasterize import _make_scene
+
+    s = _make_scene(n=60, seed=4, w=48, h=32)
+    st = s["settings"]._replace(
+        num_entries=4096, backend="xla", need_grads=False
+    )
+    kw = dict(
+        colors_precomp=jnp.asarray(s["colors"]),
+        scales=jnp.asarray(s["scales"]),
+        rotations=jnp.asarray(s["quats"]),
+    )
+    ref = R.rasterize(jnp.asarray(s["means"]), jnp.asarray(s["opac"]),
+                      st, **kw)
+    with _interp():
+        got = jax.jit(
+            lambda m, o: R.rasterize(
+                m, o, st._replace(backend="pallas"), **kw
+            )
+        )(jnp.asarray(s["means"]), jnp.asarray(s["opac"]))
+    np.testing.assert_allclose(
+        np.asarray(got["render"]), np.asarray(ref["render"]), atol=7e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rendered_final_opacity"]),
+        np.asarray(ref["rendered_final_opacity"]), atol=7e-3,
+    )
+
+
 def test_train_mode_grads_match_full(preprocessed):
     """with_median=False + carry_gid=False (the training config) leaves
     gradients of a color-only loss unchanged."""

@@ -143,6 +143,26 @@ PACK_GEO = __import__("os").environ.get("GS_PACK_GEO", "1") == "1"
 _CONIC_SCALE = 16384.0  # 2^14
 _DXY_CLAMP = 32768.0  # beyond this alpha is provably < 1/255; avoids f16 inf
 
+# Inference-path r4 packing (both on top of GS_PACK_GEO):
+#   GS_PACK_RGB10: colors ride ONE int32 as 10-bit fixed-point channels in
+#     [0, 4] (SH colors are clamped at 0 but not 1 — forward.cu:70 only
+#     clamps negatives; 4 covers any sane radiance) and opacity pairs with
+#     conic_c — 4 payload operands instead of 5. Quantization error
+#     <= 2e-3 per channel, inside the 8-bit output quantum and the 5e-3
+#     parity gate.
+#   GS_PACK_KEY1: (tile, depth) fuse into ONE uint32 sort key — tile in
+#     the top 13 bits, the top 19 bits of the positive-f32 depth pattern
+#     (monotone in depth) below. Depth order within a tile is exact down
+#     to 2^-11 relative; nearer ties sort arbitrarily (the CUDA fork's
+#     64-bit key has the same structure with 32 depth bits,
+#     rasterizer_impl.cu:98-109). The depth attribute is reconstructed
+#     mid-quantum (2^-12 relative, far inside the 5e-2 depth gate).
+#     Auto-falls back to the 2-key sort when num_tiles >= 8192.
+PACK_RGB10 = __import__("os").environ.get("GS_PACK_RGB10", "1") == "1"
+PACK_KEY1 = __import__("os").environ.get("GS_PACK_KEY1", "1") == "1"
+_RGB10_SCALE = 1023.0 / 4.0
+_DEPTH_Q_SHIFT = 12  # f32 bits dropped by the 19-bit depth key
+
 
 def _pack2_f16(lo, hi):
     """Pack two f32 rows into one int32 row as (hi<<16)|lo f16 bit pairs.
@@ -655,23 +675,39 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
     # harness holds Pallas vs XLA backward to ~3e-6.
     pack_f16 = PACK_F16 and not carry_slot
     pack_geo = pack_f16 and PACK_GEO
+    pack_rgb10 = pack_geo and PACK_RGB10
+    # single fused (tile | depth_q) uint32 key: tile needs <= 13 bits
+    pack_key1 = pack_rgb10 and PACK_KEY1 and num_tiles < (1 << 13)
     if pack_geo:
-        # tile-relative means + scaled conic pairs: 6 payload operands.
-        # tile row is exact integer-valued f32 (< 2^24); culled entries
+        # tile-relative means + scaled conic pairs: culled entries
         # (tile == num_tiles) unpack to garbage attrs but sort to the end
         # and are excluded from every tile range.
         tyf = jnp.floor(expanded_t[13] / jnp.float32(grid_x))
         txf = expanded_t[13] - tyf * grid_x
         dx = jnp.clip(expanded_t[0] - 16.0 * txf, -_DXY_CLAMP, _DXY_CLAMP)
         dy = jnp.clip(expanded_t[1] - 16.0 * tyf, -_DXY_CLAMP, _DXY_CLAMP)
-        cols = (
-            _pack2_f16(dx, dy),
-            _pack2_f16(expanded_t[2] * _CONIC_SCALE,
-                       expanded_t[3] * _CONIC_SCALE),
-            expanded_t[4],
-            _pack2_f16(expanded_t[6], expanded_t[7]),
-            _pack2_f16(expanded_t[8], expanded_t[5]),
-        )
+        if pack_rgb10:
+            # 4 payload operands: (dx,dy), (ca,cb), (cc,op), rgb10
+            q10 = lambda v: jnp.round(
+                jnp.clip(v, 0.0, 4.0) * _RGB10_SCALE).astype(jnp.int32)
+            rgb10 = q10(expanded_t[6]) | (q10(expanded_t[7]) << 10) | (
+                q10(expanded_t[8]) << 20)
+            cols = (
+                _pack2_f16(dx, dy),
+                _pack2_f16(expanded_t[2] * _CONIC_SCALE,
+                           expanded_t[3] * _CONIC_SCALE),
+                _pack2_f16(expanded_t[4] * _CONIC_SCALE, expanded_t[5]),
+                rgb10,
+            )
+        else:
+            cols = (
+                _pack2_f16(dx, dy),
+                _pack2_f16(expanded_t[2] * _CONIC_SCALE,
+                           expanded_t[3] * _CONIC_SCALE),
+                expanded_t[4],
+                _pack2_f16(expanded_t[6], expanded_t[7]),
+                _pack2_f16(expanded_t[8], expanded_t[5]),
+            )
     elif pack_f16:
         cols = tuple(expanded_t[a] for a in range(5)) + (
             _pack2_f16(expanded_t[6], expanded_t[7]),
@@ -684,13 +720,35 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         cols = cols + (expanded_t[10],)
     if carry_slot:
         cols = cols + (slot.astype(jnp.float32),)
-    # 2-key (tile, depth) sort: depth order comes from the second key, not
-    # from a pre-sorted gaussian order, so depth doubles as the depth
-    # attribute row and stability is not load-bearing
-    sorted_ops = jax.lax.sort((tile, expanded_t[9]) + cols, num_keys=2,
-                              is_stable=False)
-    sort_tile = sorted_ops[0]
-    dep_row = sorted_ops[1]
+    if pack_key1:
+        # ONE uint32 key: tile (13b) | top-19 bits of the positive-f32
+        # depth pattern (monotone in depth for the valid z > 0.2 entries;
+        # culled rows carry tile == num_tiles and sort to the tail
+        # regardless of their depth bits). Within-tile depth order is
+        # exact down to 2^-11 relative; nearer ties order arbitrarily.
+        dbits = jax.lax.bitcast_convert_type(expanded_t[9], jnp.uint32)
+        key = (tile.astype(jnp.uint32) << 19) | (
+            (dbits >> _DEPTH_Q_SHIFT) & jnp.uint32(0x7FFFF))
+        sorted_ops = jax.lax.sort((key,) + cols, num_keys=1,
+                                  is_stable=False)
+        sort_tile = (sorted_ops[0] >> 19).astype(jnp.int32)
+        # mid-quantum depth reconstruction (2^-12 relative)
+        dep_row = jax.lax.bitcast_convert_type(
+            ((sorted_ops[0] & jnp.uint32(0x7FFFF)) << _DEPTH_Q_SHIFT)
+            | jnp.uint32(1 << (_DEPTH_Q_SHIFT - 1)),
+            jnp.float32,
+        )
+        # re-insert a placeholder in the key slot so payload indices below
+        # match the 2-key layout (payloads start at index 2)
+        sorted_ops = (sort_tile, dep_row) + sorted_ops[1:]
+    else:
+        # 2-key (tile, depth) sort: depth order comes from the second key,
+        # not from a pre-sorted gaussian order, so depth doubles as the
+        # depth attribute row and stability is not load-bearing
+        sorted_ops = jax.lax.sort((tile, expanded_t[9]) + cols, num_keys=2,
+                                  is_stable=False)
+        sort_tile = sorted_ops[0]
+        dep_row = sorted_ops[1]
     valid_row = (sort_tile < num_tiles).astype(jnp.float32)
     zero_row = jnp.zeros((K,), jnp.float32)
     if pack_geo and not realign:
@@ -698,19 +756,30 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         # operands become the compositor's input table VERBATIM — no
         # post-sort unpack pass, no 16-row f32 stack (both were full HBM
         # round trips over K), and the flat-mode kernel window DMA moves
-        # half the bytes. Rows (int32): 0:(dx,dy) f16 pair (tile-relative
-        # means) 1:(ca,cb)*2^14 f16 pair 2:conic_c f32 bits 3:(r,g)
-        # 4:(b,opacity) 5:depth f32 bits 6:gid f32 bits 7:pad. The
-        # compositor decodes halves in-kernel (shift+scale bitcast trick).
+        # half the bytes. The compositor decodes halves / 10-bit channels
+        # in-kernel (shift+scale bitcast tricks).
+        # RGB10 rows (int32): 0:(dx,dy) f16 pair (tile-relative means)
+        # 1:(ca,cb)*2^14 f16 pair 2:(conic_c*2^14, opacity) f16 pair
+        # 3:rgb10 4:depth f32 bits 5:gid f32 bits 6-7:pad.
+        # Legacy rows: 0:(dx,dy) 1:(ca,cb)*2^14 2:conic_c f32 bits
+        # 3:(r,g) 4:(b,opacity) 5:depth f32 bits 6:gid f32 bits 7:pad.
         bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-        gid_packed = bc(sorted_ops[7]) if carry_gid else jnp.zeros(
-            (K,), jnp.int32)
-        flat_entries = jnp.stack(
-            [sorted_ops[2], sorted_ops[3], bc(sorted_ops[4]),
-             sorted_ops[5], sorted_ops[6], bc(dep_row), gid_packed,
-             jnp.zeros((K,), jnp.int32)],
-            axis=0,
-        )  # [8, K] int32
+        zero_i = jnp.zeros((K,), jnp.int32)
+        if pack_rgb10:
+            gid_packed = bc(sorted_ops[6]) if carry_gid else zero_i
+            flat_entries = jnp.stack(
+                [sorted_ops[2], sorted_ops[3], sorted_ops[4],
+                 sorted_ops[5], bc(dep_row), gid_packed, zero_i, zero_i],
+                axis=0,
+            )  # [8, K] int32
+        else:
+            gid_packed = bc(sorted_ops[7]) if carry_gid else zero_i
+            flat_entries = jnp.stack(
+                [sorted_ops[2], sorted_ops[3], bc(sorted_ops[4]),
+                 sorted_ops[5], sorted_ops[6], bc(dep_row), gid_packed,
+                 zero_i],
+                axis=0,
+            )  # [8, K] int32
         pos = tile_ranges(sort_tile, num_tiles)
         return BinnedBlocks(
             flat_entries=flat_entries,
@@ -729,12 +798,22 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
         txf = tile_f - tyf * grid_x
         dx_row, dy_row = _unpack2_f16(sorted_ops[2])
         ca_row, cb_row = _unpack2_f16(sorted_ops[3])
-        r_row, g_row = _unpack2_f16(sorted_ops[5])
-        b_row, op_row = _unpack2_f16(sorted_ops[6])
+        if pack_rgb10:
+            cc_row, op_row = _unpack2_f16(sorted_ops[4])
+            cc_row = cc_row * (1.0 / _CONIC_SCALE)
+            rgb10 = sorted_ops[5]
+            dq10 = lambda v: v.astype(jnp.float32) * (4.0 / 1023.0)
+            r_row = dq10(rgb10 & 1023)
+            g_row = dq10((rgb10 >> 10) & 1023)
+            b_row = dq10((rgb10 >> 20) & 1023)
+        else:
+            cc_row = sorted_ops[4]
+            r_row, g_row = _unpack2_f16(sorted_ops[5])
+            b_row, op_row = _unpack2_f16(sorted_ops[6])
         attr_rows = [
             dx_row + 16.0 * txf, dy_row + 16.0 * tyf,
             ca_row * (1.0 / _CONIC_SCALE), cb_row * (1.0 / _CONIC_SCALE),
-            sorted_ops[4],
+            cc_row,
             op_row, r_row, g_row, b_row, dep_row,
         ]
     elif pack_f16:

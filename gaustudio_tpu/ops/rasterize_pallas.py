@@ -94,6 +94,13 @@ _FLAT_WIN = 4 * 128  # flat-mode window lanes: 256-entry block at any
 
 _PACKED_ROWS = 8  # packed flat table height (binning_fast packed mode)
 _CONIC_INV = 1.0 / 16384.0  # matches binning_fast._CONIC_SCALE
+# mirrors binning_fast.PACK_RGB10: the packed flat table carries colors as
+# one 10-bit-per-channel int32 row and (conic_c, opacity) as an f16 pair
+# (4 sort payload operands). Both modules read the same env at import, and
+# a packed table only exists on the pack_geo inference path, so this flag
+# alone determines the row layout the kernel must decode.
+_PACK_RGB10 = __import__("os").environ.get("GS_PACK_RGB10", "1") == "1"
+_RGB10_INV = 4.0 / 1023.0  # matches binning_fast._RGB10_SCALE
 
 
 def _half_bits_to_f32(h):
@@ -208,24 +215,15 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             c, alive = state[0], state[2]
             return (c < n_blocks) & (jnp.max(alive) > 0.0)
 
-        def block_math(rows, c, slot, carry):
-            """Composite ``rows`` entries of block ``c`` (rows = BLOCK for
-            interior blocks; a tile's LAST block runs a narrower instance
-            when its valid count allows — the math is identical, on a
-            (rows, 256) workload, so half/quarter-empty boundary blocks
-            cost proportionally less VPU time)."""
+        def block_math(rows, row_off, get_blk, c, carry):
+            """Composite ``rows`` entries at ``row_off`` within block ``c``
+            (the math is identical on any (rows, 256) slice of the block,
+            so partially-empty boundary slices cost proportionally less
+            VPU time). ``get_blk(off, rows)`` yields the (rows, n_rows)
+            entry-major table slice."""
             T, alive, r, gg, b, d, md, mw, mi, nc = carry
             sub = subl[:rows]
-            if flat_mode:
-                # roll the 512-lane window so the run's block starts at
-                # lane 0 (the in-kernel equivalent of the realign pass)
-                off = b0 + c * BLOCK - flat_anchor(b0, c)
-                rolled = pltpu.roll(
-                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
-                )
-                blk = rolled[:, :rows].T  # (n_rows, rows) -> (rows, n_rows)
-            else:
-                blk = scratch[slot][:, :rows].T  # (16, rows) -> (rows, 16)
+            blk = get_blk(row_off, rows)
 
             if packed:
                 # in-kernel decode of the packed int32 flat table (see
@@ -238,13 +236,25 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 dyr = _half_hi(blk[:, 0:1])
                 ca = _half_lo(blk[:, 1:2]) * _CONIC_INV
                 cb = _half_hi(blk[:, 1:2]) * _CONIC_INV
-                cc = bcf(blk[:, 2:3])
-                col_r = _half_lo(blk[:, 3:4])
-                col_g = _half_hi(blk[:, 3:4])
-                col_b = _half_lo(blk[:, 4:5])
-                op = _half_hi(blk[:, 4:5])
-                dep = bcf(blk[:, 5:6])
-                gid = bcf(blk[:, 6:7])
+                if _PACK_RGB10:
+                    # rows: 2:(cc*2^14, op) f16 pair 3:rgb10 4:depth
+                    # 5:gid — 10-bit fixed-point channels in [0, 4]
+                    cc = _half_lo(blk[:, 2:3]) * _CONIC_INV
+                    op = _half_hi(blk[:, 2:3])
+                    rgb = blk[:, 3:4]
+                    col_r = (rgb & 1023).astype(jnp.float32) * _RGB10_INV
+                    col_g = ((rgb >> 10) & 1023).astype(jnp.float32) * _RGB10_INV
+                    col_b = ((rgb >> 20) & 1023).astype(jnp.float32) * _RGB10_INV
+                    dep = bcf(blk[:, 4:5])
+                    gid = bcf(blk[:, 5:6])
+                else:
+                    cc = bcf(blk[:, 2:3])
+                    col_r = _half_lo(blk[:, 3:4])
+                    col_g = _half_hi(blk[:, 3:4])
+                    col_b = _half_lo(blk[:, 4:5])
+                    op = _half_hi(blk[:, 4:5])
+                    dep = bcf(blk[:, 5:6])
+                    gid = bcf(blk[:, 6:7])
                 dx = dxr - qx  # (rows, 256): entries x pixels
                 dy = dyr - qy
                 power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -271,7 +281,8 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             Ge = jnp.exp(jnp.minimum(power, 0.0))
             alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
-            pos = c * BLOCK + sub  # position within the (aligned) tile run
+            # position within the (aligned) tile run
+            pos = c * BLOCK + row_off + sub
             # aligned mode: realign zeroes padding rows (vld = 0); flat
             # mode: every entry inside a tile's run is valid by
             # construction (culled entries sort after all real tiles), and
@@ -351,22 +362,52 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
             get_dma(slot, c).wait()
 
-            # rem <= BLOCK only ever holds for a tile's LAST block (realign
-            # gives every earlier block a full 256 valid entries); the
-            # quarter/half instances run the same math on a (64|128, 256)
-            # workload, so sparse boundary blocks cost proportionally less
+            if flat_mode:
+                # roll the 512-lane window so the run's block starts at
+                # lane 0 (the in-kernel equivalent of the realign pass);
+                # hoisted out of the sub-block loop — one window roll per
+                # 256-entry block
+                off = b0 + c * BLOCK - flat_anchor(b0, c)
+                rolled = pltpu.roll(
+                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
+                )
+                get_blk = lambda o, rows: rolled[:, o:o + rows].T
+            else:
+                get_blk = lambda o, rows: scratch[slot][:, o:o + rows].T
+
             rem = count - c * BLOCK
-            carry = jax.lax.cond(
-                rem <= BLOCK // 4,
-                lambda args: block_math(BLOCK // 4, c, slot, args),
-                lambda args: jax.lax.cond(
-                    rem <= BLOCK // 2,
-                    lambda a: block_math(BLOCK // 2, c, slot, a),
-                    lambda a: block_math(BLOCK, c, slot, a),
-                    args,
-                ),
-                carry,
-            )
+            if _SUBBLK:
+                # sub-block early termination: each SUBBLK-entry slice is
+                # skipped once past the tile's count or once every pixel
+                # has terminated — the first slice always runs (the while
+                # cond guarantees rem > 0 and alive > 0 here)
+                carry = block_math(_SUBBLK, 0, get_blk, c, carry)
+                for s in range(1, BLOCK // _SUBBLK):
+                    o = s * _SUBBLK
+
+                    def do(a, o=o):
+                        return block_math(_SUBBLK, o, get_blk, c, a)
+
+                    carry = jax.lax.cond(
+                        (rem > o) & (jnp.max(carry[1]) > 0.0),
+                        do, lambda a: a, carry,
+                    )
+            else:
+                # r3 path: rem <= BLOCK only ever holds for a tile's LAST
+                # block; the quarter/half instances run the same math on a
+                # (64|128, 256) workload, so sparse boundary blocks cost
+                # proportionally less
+                carry = jax.lax.cond(
+                    rem <= BLOCK // 4,
+                    lambda args: block_math(BLOCK // 4, 0, get_blk, c, args),
+                    lambda args: jax.lax.cond(
+                        rem <= BLOCK // 2,
+                        lambda a: block_math(BLOCK // 2, 0, get_blk, c, a),
+                        lambda a: block_math(BLOCK, 0, get_blk, c, a),
+                        args,
+                    ),
+                    carry,
+                )
             return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)
@@ -392,6 +433,14 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
 # 8 tiles/program measured best on v5e (r3 sweep: 8 > 4 > 16 > 2 > 1)
 _TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "8"))
+
+# Sub-block width for intra-block early termination (0 restores the r3
+# quarter-instance path). Each 256-entry block runs as BLOCK//SUBBLK
+# lax.cond-guarded sub-blocks: saturated pixels stop paying full-block
+# math at 64-entry granularity, boundary blocks mask at most SUBBLK-1
+# rows, and the per-sub-block prefix product needs log2(SUBBLK)=6 roll
+# steps on a (64, 256) workload instead of 8 on (256, 256).
+_SUBBLK = int(__import__("os").environ.get("GS_SUBBLK", "64"))
 
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,

@@ -98,15 +98,22 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
         G_T = basis.T.astype(jnp.bfloat16)  # (256, 8) for moments
 
     # entry-block slots 0/1 ping-pong within a tile; slots 2/3 hold tiles'
-    # LAST blocks (the reverse walk's first read), prefetched one tile ahead
-    def tile_meta(t):
+    # LAST blocks (the reverse walk's first read), prefetched one tile ahead.
+    # The walk stops at the forward's last contributing entry: positions
+    # >= max_pixel(n_contrib) have contrib=False on every pixel (factor 1,
+    # q 0, zero grads), so clamping count to that maximum skips whole
+    # trailing blocks exactly — the TPU substitute for the CUDA backward's
+    # contributor > last_contributor skip (backward.cu:477), but at block
+    # granularity instead of per-thread.
+    def tile_meta(t, i):
         start = start_ref[t]
-        count = count_ref[t]
+        nc_max = jnp.max(ct_ref[i, 7:8, :]).astype(jnp.int32)
+        count = jnp.minimum(count_ref[t], nc_max)
         b0 = start // BLOCK
-        return b0, (start + count + BLOCK - 1) // BLOCK - b0
+        return start, count, b0, (start + count + BLOCK - 1) // BLOCK - b0
 
     def start_last_dma(i, t):
-        b0, nb = tile_meta(t)
+        _, _, b0, nb = tile_meta(t, i)
 
         @pl.when(nb > 0)
         def _():
@@ -119,10 +126,7 @@ def _backward_kernel(start_ref, count_ref, bg_ref, grads_in, ct_ref,
 
     def tile_body(i, _):
         t = g_prog * tiles_per_prog + i
-        start = start_ref[t]
-        count = count_ref[t]
-        b0 = start // BLOCK
-        n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
+        start, count, b0, n_blocks = tile_meta(t, i)
 
         @pl.when(i + 1 < tiles_per_prog)
         def _():

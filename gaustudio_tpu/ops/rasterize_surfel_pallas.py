@@ -42,6 +42,7 @@ from gaustudio_tpu.ops.binning_fast import (
     tile_ranges,
 )
 from gaustudio_tpu.ops.gaussian import NEAR_CULL_Z, TILE_PIXELS, TILE_X, TILE_Y
+from gaustudio_tpu.ops.rasterize_pallas import _SUBBLK
 
 S_ATTRS = 24  # entry rows (multiple of 8)
 _TBL_ROWS = 32  # expand-table height: 28 used rows, sublane-padded
@@ -306,20 +307,13 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             c, alive = state[0], state[2]
             return (c < n_blocks) & (jnp.max(alive) > 0.0)
 
-        def block_math(rows, c, slot, carry):
-            # boundary fast path twin of rasterize_pallas._composite_kernel:
-            # a tile's LAST block runs a (rows=128, 256) instance when its
-            # valid count allows, halving the VPU work of half-empty blocks
+        def block_math(rows, row_off, get_blk, c, carry):
+            # sub-block twin of rasterize_pallas._composite_kernel: the math
+            # is identical on any (rows, 256) slice of the block, so
+            # partially-empty or terminated slices cost proportionally less
             (T, alive, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc) = carry
             sub = subl[:rows]
-            if flat_mode:
-                off = b0 + c * BLOCK - flat_anchor(b0, c)
-                rolled = pltpu.roll(
-                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
-                )
-                blk = rolled[:, :rows].T  # (24, rows) -> (rows, 24)
-            else:
-                blk = scratch[slot][:, :rows].T  # (24, rows) -> (rows, 24)
+            blk = get_blk(row_off, rows)  # (24, rows) -> (rows, 24)
 
             mx = [blk[:, k:k + 1] for k in range(3)]  # Mx coefficients
             my = [blk[:, 3 + k:4 + k] for k in range(3)]
@@ -367,7 +361,7 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 # flat runs contain only valid entries (culled ones sort
                 # after all real tiles); rows past the tile's count hold
                 # the NEXT tile's entries — mask by count, not by vld
-                dead = dead | (c * BLOCK + sub >= count_ref[t])
+                dead = dead | (c * BLOCK + row_off + sub >= count_ref[t])
             else:
                 dead = dead | (vld < 0.5)
             alpha = jnp.where(dead, 0.0, alpha)
@@ -430,7 +424,7 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                     jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
                 )
 
-            pos1 = (c * BLOCK + sub + 1).astype(jnp.float32)
+            pos1 = (c * BLOCK + row_off + sub + 1).astype(jnp.float32)
             nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
                                          keepdims=True))
             return (T, alive, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
@@ -446,18 +440,44 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
             get_dma(slot, c).wait()
 
+            if flat_mode:
+                # one window roll per 256-entry block, hoisted out of the
+                # sub-block loop (the in-kernel realign equivalent)
+                off = b0 + c * BLOCK - flat_anchor(b0, c)
+                rolled = pltpu.roll(
+                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
+                )
+                get_blk = lambda o, rows: rolled[:, o:o + rows].T
+            else:
+                get_blk = lambda o, rows: scratch[slot][:, o:o + rows].T
+
             rem = count_ref[t] - c * BLOCK  # only the last block is partial
-            carry = jax.lax.cond(
-                rem <= BLOCK // 4,
-                lambda a: block_math(BLOCK // 4, c, slot, a),
-                lambda a: jax.lax.cond(
-                    rem <= BLOCK // 2,
-                    lambda b: block_math(BLOCK // 2, c, slot, b),
-                    lambda b: block_math(BLOCK, c, slot, b),
-                    a,
-                ),
-                carry,
-            )
+            if _SUBBLK:
+                # sub-block early termination (see rasterize_pallas): skip
+                # slices past the tile's count or once every pixel is dead
+                carry = block_math(_SUBBLK, 0, get_blk, c, carry)
+                for s in range(1, BLOCK // _SUBBLK):
+                    o = s * _SUBBLK
+
+                    def do(a, o=o):
+                        return block_math(_SUBBLK, o, get_blk, c, a)
+
+                    carry = jax.lax.cond(
+                        (rem > o) & (jnp.max(carry[1]) > 0.0),
+                        do, lambda a: a, carry,
+                    )
+            else:
+                carry = jax.lax.cond(
+                    rem <= BLOCK // 4,
+                    lambda a: block_math(BLOCK // 4, 0, get_blk, c, a),
+                    lambda a: jax.lax.cond(
+                        rem <= BLOCK // 2,
+                        lambda b: block_math(BLOCK // 2, 0, get_blk, c, b),
+                        lambda b: block_math(BLOCK, 0, get_blk, c, b),
+                        a,
+                    ),
+                    carry,
+                )
             return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)

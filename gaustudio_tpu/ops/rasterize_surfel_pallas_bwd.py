@@ -63,14 +63,18 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
     qx = (q_pix % TILE_X).astype(jnp.float32)
     qy = (q_pix // TILE_X).astype(jnp.float32)
 
-    def tile_meta(t):
+    # count clamps to the forward's max n_contrib: positions past it have
+    # contrib=False on every pixel (factor 1, zero grads), so the reverse
+    # walk skips whole trailing blocks exactly (see rasterize_pallas_bwd)
+    def tile_meta(t, i):
         start = start_ref[t]
-        count = count_ref[t]
+        nc_max = jnp.max(ct_ref[i, 11:12, :]).astype(jnp.int32)
+        count = jnp.minimum(count_ref[t], nc_max)
         b0 = start // BLOCK
-        return b0, (start + count + BLOCK - 1) // BLOCK - b0
+        return start, count, b0, (start + count + BLOCK - 1) // BLOCK - b0
 
     def start_last_dma(i, t):
-        b0, nb = tile_meta(t)
+        _, _, b0, nb = tile_meta(t, i)
 
         @pl.when(nb > 0)
         def _():
@@ -83,10 +87,7 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
 
     def tile_body(i, _):
         t = g_prog * tiles_per_prog + i
-        start = start_ref[t]
-        count = count_ref[t]
-        b0 = start // BLOCK
-        n_blocks = (start + count + BLOCK - 1) // BLOCK - b0
+        start, count, b0, n_blocks = tile_meta(t, i)
 
         @pl.when(i + 1 < tiles_per_prog)
         def _():

@@ -42,7 +42,25 @@ from gaustudio_tpu.ops.binning_fast import (
     tile_ranges,
 )
 from gaustudio_tpu.ops.gaussian import NEAR_CULL_Z, TILE_PIXELS, TILE_X, TILE_Y
-from gaustudio_tpu.ops.rasterize_pallas import _SUBBLK
+from gaustudio_tpu.ops.rasterize_pallas import (
+    _SUBBLK,
+    _RGB10_INV,
+    _half_hi,
+    _half_lo,
+)
+
+# r4 packed single-sort inference path (surfel twin of binning_fast's
+# PACK_RGB10/PACK_KEY1 flat table): the homography M is made TILE-RELATIVE
+# (Mx' = Mx - 16*tx*Mw, My' = My - 16*ty*Mw, so hu = qx*Mw - Mx' with the
+# LOCAL qx in [0,16)) and PER-ENTRY NORMALIZED (u = s0/s2, v = s1/s2 are
+# invariant to a global scale of M, so dividing all 9 coefficients by
+# max|M'| puts them in [-1, 1] where f16's 2^-11 relative error costs
+# ~1.5e-3 in (u, v) — inside the inference parity gate). Entries then ride
+# ONE 13-operand sort (fused (tile|depth) uint32 key + 12 packed payload
+# rows) instead of two 12-operand stable sorts, and the compositor windows
+# DMA a [16, K] int32 table instead of [24, K] f32.
+SURFEL_PACK = __import__("os").environ.get("GS_SURFEL_PACK", "1") == "1"
+_PK_CLAMP = 60000.0  # f16-overflow guard for the Dk0/Dk1 slope pair
 
 S_ATTRS = 24  # entry rows (multiple of 8)
 _TBL_ROWS = 32  # expand-table height: 28 used rows, sublane-padded
@@ -144,10 +162,11 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
     # XLA-TPU). is_stable=True is LOAD-BEARING here: it makes the
     # permutation a deterministic function of the key sequence, so both
     # sorts apply the identical permutation even on (tile, depth) ties.
-    t1 = jax.lax.sort(
-        (tile, dep) + tuple(expanded_t[a] for a in range(10)),
-        num_keys=2, is_stable=True,
-    )
+    if carry_slot or not (SURFEL_PACK and num_tiles < (1 << 13)):
+        t1 = jax.lax.sort(
+            (tile, dep) + tuple(expanded_t[a] for a in range(10)),
+            num_keys=2, is_stable=True,
+        )
     if carry_slot:
         # training: gid feeds only the median-id output, which the loss
         # never reads — carry_gid=False drops that operand
@@ -161,6 +180,81 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
         if not carry_gid:
             # restore the (.., gid, slot) tail shape with a zero gid row
             t2 = t2[:12] + (jnp.zeros((K,), jnp.float32), t2[12])
+    elif SURFEL_PACK and num_tiles < (1 << 13):
+        # PACKED SINGLE-SORT flat table (see module-top SURFEL_PACK note).
+        # Row layout ([16, K] int32, rows 12-15 zero pad):
+        #   0: (Mx'0, My'0)  1: (Mx'1, My'1)  2: (Mx'2, My'2)  f16 pairs,
+        #   3: (Mw0, Mw1)    4: (Mw2, opacity)                 normalized
+        #   5: (Dk0, Dk1) f16 pair   6: Dk2 f32 bits (exact center depth)
+        #   7: rgb10 (10-bit fixed-point channels in [0, 4])
+        #   8: (n0, n1) f16  9: (n2, 0) f16  10: (cx', cy') tile-relative
+        #   11: gid f32 bits
+        from gaustudio_tpu.ops.binning_fast import (
+            _DEPTH_Q_SHIFT,
+            _DXY_CLAMP,
+            _RGB10_SCALE,
+            _pack2_f16,
+        )
+
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        tile_c = jnp.minimum(tile, num_tiles - 1).astype(jnp.float32)
+        tyf = jnp.floor(tile_c / jnp.float32(grid_x))
+        txf = tile_c - tyf * grid_x
+        mx = [expanded_t[k] for k in range(3)]
+        my = [expanded_t[3 + k] for k in range(3)]
+        mw = [expanded_t[6 + k] for k in range(3)]
+        mxp = [mx[k] - 16.0 * txf * mw[k] for k in range(3)]
+        myp = [my[k] - 16.0 * tyf * mw[k] for k in range(3)]
+        mabs = jnp.zeros_like(dep)
+        for vset in (mxp, myp, mw):
+            for v in vset:
+                mabs = jnp.maximum(mabs, jnp.abs(v))
+        msc = 1.0 / jnp.maximum(mabs, 1e-12)
+        q10 = lambda v: jnp.round(
+            jnp.clip(v, 0.0, 4.0) * _RGB10_SCALE).astype(jnp.int32)
+        rgb10 = (q10(expanded_t[13]) | (q10(expanded_t[14]) << 10)
+                 | (q10(expanded_t[15]) << 20))
+        cxr = jnp.clip(expanded_t[19] - 16.0 * txf, -_DXY_CLAMP, _DXY_CLAMP)
+        cyr = jnp.clip(expanded_t[20] - 16.0 * tyf, -_DXY_CLAMP, _DXY_CLAMP)
+        dkc = lambda v: jnp.clip(v, -_PK_CLAMP, _PK_CLAMP)
+        cols = (
+            _pack2_f16(mxp[0] * msc, myp[0] * msc),
+            _pack2_f16(mxp[1] * msc, myp[1] * msc),
+            _pack2_f16(mxp[2] * msc, myp[2] * msc),
+            _pack2_f16(mw[0] * msc, mw[1] * msc),
+            _pack2_f16(mw[2] * msc, expanded_t[12]),
+            _pack2_f16(dkc(expanded_t[9]), dkc(expanded_t[10])),
+            bc(expanded_t[11]),
+            rgb10,
+            _pack2_f16(expanded_t[16], expanded_t[17]),
+            _pack2_f16(expanded_t[18], jnp.zeros_like(dep)),
+            _pack2_f16(cxr, cyr),
+            bc(expanded_t[22]),
+        )
+        # fused (tile | depth) uint32 key, as binning_fast PACK_KEY1: the
+        # top 19 bits of the positive-f32 depth pattern are monotone in
+        # depth; culled rows carry tile == num_tiles and sort to the tail
+        dbits = jax.lax.bitcast_convert_type(dep, jnp.uint32)
+        key = (tile.astype(jnp.uint32) << 19) | (
+            (dbits >> _DEPTH_Q_SHIFT) & jnp.uint32(0x7FFFF))
+        sorted_ops = jax.lax.sort((key,) + cols, num_keys=1,
+                                  is_stable=False)
+        sort_tile = (sorted_ops[0] >> 19).astype(jnp.int32)
+        zero_i = jnp.zeros((K,), jnp.int32)
+        flat_entries = jnp.stack(
+            list(sorted_ops[1:]) + [zero_i] * 4, axis=0)  # [16, K] int32
+        pos = tile_ranges(sort_tile, num_tiles)
+        return SurfelBinned(
+            aligned_blocks=jnp.zeros((0, S_ATTRS, BLOCK), jnp.float32),
+            flat_entries=flat_entries,
+            tile_count=pos[1:] - pos[:-1],
+            ablock_start=jnp.zeros((num_tiles,), jnp.int32),
+            tile_start=pos[:num_tiles],
+            sorted_tile=sort_tile,
+            num_rendered=total,
+            slot_gauss=g.astype(jnp.int32),
+            compact_gid=jnp.arange(n, dtype=jnp.int32),
+        )
     else:
         from gaustudio_tpu.ops.binning_fast import _pack2_f16, _unpack2_f16
 
@@ -239,7 +333,7 @@ _FLAT_WIN = 4 * 128  # flat-mode window lanes (see rasterize_pallas)
 def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                    *, grid_x: int, tiles_per_prog: int,
                    flat_mode: bool = False, k_total: int = 0,
-                   with_median: bool = True):
+                   with_median: bool = True, packed: bool = False):
     gprog = pl.program_id(0)
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
@@ -315,27 +409,56 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             sub = subl[:rows]
             blk = get_blk(row_off, rows)  # (24, rows) -> (rows, 24)
 
-            mx = [blk[:, k:k + 1] for k in range(3)]  # Mx coefficients
-            my = [blk[:, 3 + k:4 + k] for k in range(3)]
-            mw = [blk[:, 6 + k:7 + k] for k in range(3)]
-            dk0 = blk[:, 9:10]
-            dk1 = blk[:, 10:11]
-            dk2 = blk[:, 11:12]
-            op = blk[:, 12:13]
-            col_r = blk[:, 13:14]
-            col_g = blk[:, 14:15]
-            col_b = blk[:, 15:16]
-            nr0 = blk[:, 16:17]
-            nr1 = blk[:, 17:18]
-            nr2 = blk[:, 18:19]
-            gid = blk[:, 19:20]
-            vld = blk[:, 20:21]
-            cx = blk[:, 22:23]
-            cy = blk[:, 23:24]
+            if packed:
+                # in-kernel decode of the packed int32 surfel table (see
+                # SURFEL_PACK at bin_surfels_fast): M and mean2d are
+                # TILE-RELATIVE and M per-entry normalized, so the
+                # homography and the 2D low-pass evaluate against the
+                # LOCAL (qx, qy) in [0, 16) — no absolute reconstruction
+                bcf = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+                mx = [_half_lo(blk[:, k:k + 1]) for k in range(3)]
+                my = [_half_hi(blk[:, k:k + 1]) for k in range(3)]
+                mw = [_half_lo(blk[:, 3:4]), _half_hi(blk[:, 3:4]),
+                      _half_lo(blk[:, 4:5])]
+                op = _half_hi(blk[:, 4:5])
+                dk0 = _half_lo(blk[:, 5:6])
+                dk1 = _half_hi(blk[:, 5:6])
+                dk2 = bcf(blk[:, 6:7])
+                rgb = blk[:, 7:8]
+                col_r = (rgb & 1023).astype(jnp.float32) * _RGB10_INV
+                col_g = ((rgb >> 10) & 1023).astype(jnp.float32) * _RGB10_INV
+                col_b = ((rgb >> 20) & 1023).astype(jnp.float32) * _RGB10_INV
+                nr0 = _half_lo(blk[:, 8:9])
+                nr1 = _half_hi(blk[:, 8:9])
+                nr2 = _half_lo(blk[:, 9:10])
+                cx = _half_lo(blk[:, 10:11])
+                cy = _half_hi(blk[:, 10:11])
+                gid = bcf(blk[:, 11:12])
+                vld = None
+                ex, ey = qx, qy
+            else:
+                mx = [blk[:, k:k + 1] for k in range(3)]  # Mx coefficients
+                my = [blk[:, 3 + k:4 + k] for k in range(3)]
+                mw = [blk[:, 6 + k:7 + k] for k in range(3)]
+                dk0 = blk[:, 9:10]
+                dk1 = blk[:, 10:11]
+                dk2 = blk[:, 11:12]
+                op = blk[:, 12:13]
+                col_r = blk[:, 13:14]
+                col_g = blk[:, 14:15]
+                col_b = blk[:, 15:16]
+                nr0 = blk[:, 16:17]
+                nr1 = blk[:, 17:18]
+                nr2 = blk[:, 18:19]
+                gid = blk[:, 19:20]
+                vld = blk[:, 20:21]
+                cx = blk[:, 22:23]
+                cy = blk[:, 23:24]
+                ex, ey = px, py
 
             # two-plane ray-splat intersection (reference _surfel_alpha)
-            hu = [px * mw[k] - mx[k] for k in range(3)]  # (BLOCK, 256) x3
-            hv = [py * mw[k] - my[k] for k in range(3)]
+            hu = [ex * mw[k] - mx[k] for k in range(3)]  # (BLOCK, 256) x3
+            hv = [ey * mw[k] - my[k] for k in range(3)]
             s0 = hu[1] * hv[2] - hu[2] * hv[1]
             s1 = hu[2] * hv[0] - hu[0] * hv[2]
             s2 = hu[0] * hv[1] - hu[1] * hv[0]
@@ -346,8 +469,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             v = s1 * rz
             rho3d = u * u + v * v
 
-            dx = cx - px
-            dy = cy - py
+            dx = cx - ex
+            dy = cy - ey
             rho2d = (dx * dx + dy * dy) / _FILTER_2D_VAR
 
             use3d = rho3d <= rho2d
@@ -512,6 +635,8 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
     tile_count = jnp.pad(binned.tile_count, (0, pad))
     k_total = binned.flat_entries.shape[1]
     win = _FLAT_WIN if use_flat else BLOCK
+    packed = use_flat and binned.flat_entries.dtype == jnp.int32
+    n_rows = binned.flat_entries.shape[0] if packed else S_ATTRS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(padded // tiles_per_prog,),
@@ -520,13 +645,14 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
             (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, s, c: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, S_ATTRS, win), jnp.float32),
+            pltpu.VMEM((4, n_rows, win),
+                       jnp.int32 if packed else jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = partial(_surfel_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog, flat_mode=use_flat,
-                     k_total=k_total, with_median=with_median)
+                     k_total=k_total, with_median=with_median, packed=packed)
     data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,

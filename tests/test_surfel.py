@@ -192,11 +192,19 @@ def test_surfel_lean_mode_close_and_backward_raises():
     with pltpu.force_tpu_interpret_mode():
         exact = run(True)
         lean = run(False)
+    # The packed single-sort table (SURFEL_PACK) rides a 19-bit quantized
+    # depth key, so near-equal-depth surfels can composite in a different
+    # (equally valid) order than the exact f32 two-key sort — an isolated-
+    # pixel effect, gated the same way as the vanilla inference parity
+    # check (tools/tpu_parity_check.py): tight on ~all pixels, a loose cap
+    # plus a per-image fraction bound on quantization flips.
     for k, tol in (("render", 4e-3), ("rendered_alpha", 4e-3),
                    ("rendered_normal_view", 4e-3),
                    ("rendered_depth_sum", 2e-2)):
-        np.testing.assert_allclose(np.asarray(lean[k]), np.asarray(exact[k]),
-                                   atol=tol, rtol=0, err_msg=k)
+        d = np.abs(np.asarray(lean[k]) - np.asarray(exact[k]))
+        assert d.max() < 0.05, f"{k}: max|err|={d.max():.4f}"
+        frac = float((d > tol).mean())
+        assert frac < 2e-3, f"{k}: frac>|{tol}|={frac:.5f}"
 
     def loss(colors):
         s = settings._replace(backend="pallas", num_entries=1 << 13,

@@ -52,8 +52,9 @@ def main():
 
     args = tuple(jnp.asarray(a) for a in (xyz, opac, scales, quats, colors))
 
-    def make(backend, iters):
-        s = base._replace(num_entries=cap, backend=backend)
+    def make(backend, iters, need_grads=True):
+        s = base._replace(num_entries=cap, backend=backend,
+                          need_grads=need_grads)
 
         @jax.jit
         def render(xyz, opac, scales, quats, colors):
@@ -69,11 +70,15 @@ def main():
             img, _ = render(*args)
         sync(img)
         dt = (time.perf_counter() - t0) / iters
-        print(f"{backend}: {dt*1e3:.1f} ms/frame = "
+        mode = "train" if need_grads else "inference"
+        print(f"{backend} ({mode}): {dt*1e3:.1f} ms/frame = "
               f"{H*W/1e6/dt:.2f} MPix/s  (lit {lit:.3f})", flush=True)
         return dt
 
     dt_p = make("pallas", 10)
+    # inference path (the reference's mesh-extraction renderer mode):
+    # packed single-sort flat table, no realign, no slot operand
+    make("pallas", 10, need_grads=False)
     dt_x = make("xla", 3)
     print(f"speedup: {dt_x/dt_p:.1f}x", flush=True)
 

@@ -434,13 +434,16 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 # 8 tiles/program measured best on v5e (r3 sweep: 8 > 4 > 16 > 2 > 1)
 _TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "8"))
 
-# Sub-block width for intra-block early termination (0 restores the r3
-# quarter-instance path). Each 256-entry block runs as BLOCK//SUBBLK
-# lax.cond-guarded sub-blocks: saturated pixels stop paying full-block
-# math at 64-entry granularity, boundary blocks mask at most SUBBLK-1
-# rows, and the per-sub-block prefix product needs log2(SUBBLK)=6 roll
-# steps on a (64, 256) workload instead of 8 on (256, 256).
-_SUBBLK = int(__import__("os").environ.get("GS_SUBBLK", "64"))
+# Sub-block width for intra-block early termination (0 — the default —
+# keeps the quarter-instance tail path). Each 256-entry block runs as
+# BLOCK//SUBBLK lax.cond-guarded sub-blocks: saturated pixels stop paying
+# full-block math at SUBBLK-entry granularity and boundary blocks mask at
+# most SUBBLK-1 rows. Measured on the 1080p/300k headline scene the cond
+# machinery LOSES to the quarter-instance path (r4 sweep: 0 -> 77.3
+# MPix/s, 128 -> 75.9, 64 -> 65.5, 32 -> 51.0): the per-sub-block branch
+# overhead exceeds what early termination saves at ~240 entries/tile.
+# Kept as an env knob for heavily-saturated scenes.
+_SUBBLK = int(__import__("os").environ.get("GS_SUBBLK", "0"))
 
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,

@@ -397,13 +397,26 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 # block; the quarter/half instances run the same math on a
                 # (64|128, 256) workload, so sparse boundary blocks cost
                 # proportionally less
+                def leaf(width, a):
+                    if _SB_SL and width > _SB_SL:
+                        # straight-line sub-block decomposition: the
+                        # log2(w) roll chain on (w, 256) costs ~w/BLOCK of
+                        # the full-block chain, so k slices of width w pay
+                        # k*log2(w)*(w/BLOCK) roll-equivalents vs log2(kw)
+                        # — 25% less prefix work at w=64, and unlike
+                        # GS_SUBBLK there is NO per-slice lax.cond
+                        for off in range(0, width, _SB_SL):
+                            a = block_math(_SB_SL, off, get_blk, c, a)
+                        return a
+                    return block_math(width, 0, get_blk, c, a)
+
                 carry = jax.lax.cond(
                     rem <= BLOCK // 4,
-                    lambda args: block_math(BLOCK // 4, 0, get_blk, c, args),
+                    lambda args: leaf(BLOCK // 4, args),
                     lambda args: jax.lax.cond(
                         rem <= BLOCK // 2,
-                        lambda a: block_math(BLOCK // 2, 0, get_blk, c, a),
-                        lambda a: block_math(BLOCK, 0, get_blk, c, a),
+                        lambda a: leaf(BLOCK // 2, a),
+                        lambda a: leaf(BLOCK, a),
                         args,
                     ),
                     carry,
@@ -444,6 +457,12 @@ _TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "8"))
 # overhead exceeds what early termination saves at ~240 entries/tile.
 # Kept as an env knob for heavily-saturated scenes.
 _SUBBLK = int(__import__("os").environ.get("GS_SUBBLK", "0"))
+# Straight-line sub-block width for the r3 quarter-instance path: full
+# (and half) block instances run as cond-free width-N slices, trading
+# ~25% of the prefix roll-chain work for more instruction issue. 0
+# disables (single full-width block_math per instance). On-chip A/B
+# (r4 sweep2): 128 -> 77.45 MPix/s vs 0 -> 76.12, 64 -> 70.89.
+_SB_SL = int(__import__("os").environ.get("GS_SB_SL", "128"))
 
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,

@@ -160,6 +160,16 @@ _DXY_CLAMP = 32768.0  # beyond this alpha is provably < 1/255; avoids f16 inf
 #     Auto-falls back to the 2-key sort when num_tiles >= 8192.
 PACK_RGB10 = __import__("os").environ.get("GS_PACK_RGB10", "1") == "1"
 PACK_KEY1 = __import__("os").environ.get("GS_PACK_KEY1", "1") == "1"
+#   GS_PACK_ALIGN: realign the PACKED int32 table into 256-aligned tile
+#     runs (the realign pass costs one streamed HBM round trip over the
+#     half-width packed table) so the flat compositor's per-block dynamic
+#     pltpu.roll — a log-decomposed lane shuffle on every (8, 512) window
+#     — disappears: blocks DMA directly at aligned offsets. MEASURED
+#     SLOWER at the 1080p/300k headline (r4 sweep4: 76.86 vs 79.0
+#     MPix/s): the extra realign pass costs more than the in-kernel roll
+#     it removes. Kept as a knob for workloads with many blocks per tile
+#     (deep scenes), where the roll count grows but the realign does not.
+PACK_ALIGN = __import__("os").environ.get("GS_PACK_ALIGN", "0") == "1"
 _RGB10_SCALE = 1023.0 / 4.0
 _DEPTH_Q_SHIFT = 12  # f32 bits dropped by the 19-bit depth key
 
@@ -418,7 +428,8 @@ def _realign_kernel(srclo_ref, vcnt_ref, flat_hbm, out_ref, win, sems, *,
         off_lo = lo_b - (a128 + off_hi // 128) * 128
         blk = pltpu.roll(sl, (3 * 128 - off_lo) % (3 * 128), axis=1)[:, :BLOCK]
         vcnt = vcnt_ref[p * _RA_SUPER + b]
-        out_ref[0, b] = jnp.where(lane < vcnt, blk, 0.0)
+        out_ref[0, b] = jnp.where(lane < vcnt, blk,
+                                  jnp.zeros((), blk.dtype))
 
 
 def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
@@ -427,6 +438,7 @@ def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
     vanilla layout uses 16 with 'valid' at row 11); rows beyond a tile's
     real count are zeroed, so the valid row reads 0 on padding."""
     n_rows, K = flat_entries.shape
+    dtype = flat_entries.dtype
     assert n_rows % 8 == 0
     assert nb_al % _RA_SUPER == 0
     assert K >= _RA_WIN, "num_entries must cover one realign window"
@@ -438,14 +450,14 @@ def realign_runs(flat_entries, src_lo, vcnt, nb_al: int):
             (1, _RA_SUPER, n_rows, BLOCK), lambda p, s, v: (p, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, n_rows, _RA_WIN), jnp.float32),
+            pltpu.VMEM((2, n_rows, _RA_WIN), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         partial(_realign_kernel, k_total=K, n_rows=n_rows),
         out_shape=jax.ShapeDtypeStruct(
-            (nb_al // _RA_SUPER, _RA_SUPER, n_rows, BLOCK), jnp.float32
+            (nb_al // _RA_SUPER, _RA_SUPER, n_rows, BLOCK), dtype
         ),
         grid_spec=grid_spec,
     )(src_lo, vcnt, flat_entries)
@@ -781,12 +793,32 @@ def bin_gaussians_fast(pre: Preprocessed, grid_x: int, grid_y: int,
                 axis=0,
             )  # [8, K] int32
         pos = tile_ranges(sort_tile, num_tiles)
+        tile_start = pos[:num_tiles]
+        tile_count = pos[1:] - pos[:-1]
+        if PACK_ALIGN:
+            # 256-align the packed runs so the compositor DMAs blocks
+            # directly (no in-kernel window roll); padding rows are zeroed
+            # int32 entries that decode to opacity 0 (dead on arrival)
+            nb_al = aligned_capacity(K, num_tiles)
+            abpt = (tile_count + BLOCK - 1) // BLOCK
+            ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
+            bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(
+                1, mode="drop"
+            )
+            blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
+            blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
+            src_lo = tile_start[blk_tile] + blk_k * BLOCK
+            vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
+            aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+        else:
+            ablock_start = jnp.zeros((num_tiles,), jnp.int32)
+            aligned_blocks = jnp.zeros((0, NUM_ATTRS, BLOCK), jnp.float32)
         return BinnedBlocks(
             flat_entries=flat_entries,
-            aligned_blocks=jnp.zeros((0, NUM_ATTRS, BLOCK), jnp.float32),
-            tile_start=pos[:num_tiles],
-            tile_count=pos[1:] - pos[:-1],
-            ablock_start=jnp.zeros((num_tiles,), jnp.int32),
+            aligned_blocks=aligned_blocks,
+            tile_start=tile_start,
+            tile_count=tile_count,
+            ablock_start=ablock_start,
             sorted_tile=sort_tile,
             num_rendered=total,
             slot_gauss=g.astype(jnp.int32),

@@ -43,7 +43,10 @@ _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.99
 _MEDIAN_DEFAULT = 15.0
 
-NUM_OUT = 16
+# Output rows per tile: 9 state rows (r,g,b,depth,med_d,med_w,med_i,T,nc)
+# padded up for DMA-friendly sublane tiling. 16 was the historical default;
+# 9 cuts the [T, NUM_OUT, 256] write traffic ~44% (A/B via GS_NUM_OUT).
+NUM_OUT = int(__import__("os").environ.get("GS_NUM_OUT", "16"))
 
 # MXU power-matmul mode. The per-(entry, pixel) quadratic power is a rank-6
 # bilinear form power = F(entry) @ G(pixel) with G = [qx^2, qy^2, qx*qy,
@@ -289,7 +292,9 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             # rows past the run's end hold the NEXT tile's entries, so
             # masking by the true count replaces the valid row entirely
             dead = (power > 0.0) | (alpha < _ALPHA_MIN)
-            if flat_mode:
+            if flat_mode or packed:
+                # packed aligned blocks have no valid row; padding rows are
+                # zeroed (alpha 0) and additionally masked by the count
                 dead = dead | (pos >= count)
             else:
                 dead = dead | (vld < 0.5)
@@ -367,10 +372,15 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 # lane 0 (the in-kernel equivalent of the realign pass);
                 # hoisted out of the sub-block loop — one window roll per
                 # 256-entry block
-                off = b0 + c * BLOCK - flat_anchor(b0, c)
-                rolled = pltpu.roll(
-                    scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
-                )
+                if _NOROLL:
+                    # TIMING-ONLY hack (wrong image): skip the dynamic roll
+                    # to measure its cost share. Never a production mode.
+                    rolled = scratch[slot]
+                else:
+                    off = b0 + c * BLOCK - flat_anchor(b0, c)
+                    rolled = pltpu.roll(
+                        scratch[slot], (_FLAT_WIN - off) % _FLAT_WIN, axis=1
+                    )
                 get_blk = lambda o, rows: rolled[:, o:o + rows].T
             else:
                 get_blk = lambda o, rows: scratch[slot][:, o:o + rows].T
@@ -433,12 +443,18 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         def _():
             get_dma(c_fin % 2, c_fin).wait()
 
-        # one (16, 256) store: 9 state rows + 7 pad rows
-        out_ref[i] = jnp.concatenate(
-            [r, gg, b, d, md, mw, mi, T, nc,
-             jnp.zeros((NUM_OUT - 9, TILE_PIXELS), jnp.float32)],
-            axis=0,
-        )
+        # one (NUM_OUT, 256) store: 9 state rows (+ pad rows when NUM_OUT>9)
+        if _OUT8_PROBE:
+            # TIMING-ONLY probe (drops nc): writes one aligned 8-sublane
+            # tile to measure the output-write cost share. Never production.
+            out_ref[i, 0:8] = jnp.concatenate(
+                [r, gg, b, d, md, mw, mi, T], axis=0)
+        else:
+            rows_out = [r, gg, b, d, md, mw, mi, T, nc]
+            if NUM_OUT > 9:
+                rows_out.append(
+                    jnp.zeros((NUM_OUT - 9, TILE_PIXELS), jnp.float32))
+            out_ref[i] = jnp.concatenate(rows_out, axis=0)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
@@ -457,6 +473,10 @@ _TPP_DEFAULT = int(__import__("os").environ.get("GS_TILES_PER_PROG", "8"))
 # overhead exceeds what early termination saves at ~240 entries/tile.
 # Kept as an env knob for heavily-saturated scenes.
 _SUBBLK = int(__import__("os").environ.get("GS_SUBBLK", "0"))
+# timing-only: skip the flat-mode window roll (WRONG image — cost probe)
+_NOROLL = __import__("os").environ.get("GS_FLAT_NOROLL", "0") == "1"
+# timing-only: 8-row partial output write (drops nc — cost probe)
+_OUT8_PROBE = __import__("os").environ.get("GS_OUT8_PROBE", "0") == "1"
 # Straight-line sub-block width for the r3 quarter-instance path: full
 # (and half) block instances run as cond-free width-N slices, trading
 # ~25% of the prefix roll-chain work for more instruction issue. 0
@@ -479,11 +499,19 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
     num_tiles = grid_x * grid_y
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
     pad = padded - num_tiles
+    # GS_PACK_ALIGN: binning realigned the packed table into 256-aligned
+    # int32 blocks — use aligned block addressing (no in-kernel roll) with
+    # the packed in-kernel decode
+    packed_aligned = (use_flat and binned.aligned_blocks.size > 0
+                      and binned.aligned_blocks.dtype == jnp.int32)
+    if packed_aligned:
+        use_flat = False
     start = binned.tile_start if use_flat else binned.ablock_start
     ablock_start = jnp.pad(start, (0, pad))
     tile_count = jnp.pad(binned.tile_count, (0, pad))
     k_total = binned.flat_entries.shape[1]
-    packed = use_flat and binned.flat_entries.dtype == jnp.int32
+    packed = packed_aligned or (
+        use_flat and binned.flat_entries.dtype == jnp.int32)
     win = _FLAT_WIN if use_flat else BLOCK
     n_rows = binned.flat_entries.shape[0] if packed else NUM_ATTRS
     grid_spec = pltpu.PrefetchScalarGridSpec(

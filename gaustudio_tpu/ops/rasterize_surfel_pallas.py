@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaustudio_tpu.ops.binning_fast import (
     BLOCK,
+    PACK_ALIGN,
     _blocked_cumsum,
     aligned_capacity,
     block_lo_from_starts,
@@ -43,6 +44,7 @@ from gaustudio_tpu.ops.binning_fast import (
 )
 from gaustudio_tpu.ops.gaussian import NEAR_CULL_Z, TILE_PIXELS, TILE_X, TILE_Y
 from gaustudio_tpu.ops.rasterize_pallas import (
+    _SB_SL,
     _SUBBLK,
     _RGB10_INV,
     _half_hi,
@@ -244,12 +246,32 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
         flat_entries = jnp.stack(
             list(sorted_ops[1:]) + [zero_i] * 4, axis=0)  # [16, K] int32
         pos = tile_ranges(sort_tile, num_tiles)
+        tile_start = pos[:num_tiles]
+        tile_count = pos[1:] - pos[:-1]
+        if PACK_ALIGN:
+            # GS_PACK_ALIGN (see binning_fast): 256-align the packed runs
+            # so the compositor skips the per-block window roll; zeroed
+            # padding rows decode to opacity 0
+            nb_al = aligned_capacity(K, num_tiles)
+            abpt = (tile_count + BLOCK - 1) // BLOCK
+            ablock_start = (jnp.cumsum(abpt) - abpt).astype(jnp.int32)
+            bmark = jnp.zeros((nb_al,), jnp.int32).at[ablock_start].add(
+                1, mode="drop"
+            )
+            blk_tile = jnp.clip(jnp.cumsum(bmark) - 1, 0, num_tiles - 1)
+            blk_k = jnp.arange(nb_al, dtype=jnp.int32) - ablock_start[blk_tile]
+            src_lo = tile_start[blk_tile] + blk_k * BLOCK
+            vcnt = jnp.clip(tile_count[blk_tile] - blk_k * BLOCK, 0, BLOCK)
+            aligned_blocks = realign_runs(flat_entries, src_lo, vcnt, nb_al)
+        else:
+            ablock_start = jnp.zeros((num_tiles,), jnp.int32)
+            aligned_blocks = jnp.zeros((0, S_ATTRS, BLOCK), jnp.float32)
         return SurfelBinned(
-            aligned_blocks=jnp.zeros((0, S_ATTRS, BLOCK), jnp.float32),
+            aligned_blocks=aligned_blocks,
             flat_entries=flat_entries,
-            tile_count=pos[1:] - pos[:-1],
-            ablock_start=jnp.zeros((num_tiles,), jnp.int32),
-            tile_start=pos[:num_tiles],
+            tile_count=tile_count,
+            ablock_start=ablock_start,
+            tile_start=tile_start,
             sorted_tile=sort_tile,
             num_rendered=total,
             slot_gauss=g.astype(jnp.int32),
@@ -480,10 +502,12 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             # 2D-branch depth = center depth (reference 2DGS semantics)
             depth = jnp.where(use3d, dk0 * u + dk1 * v + dk2, dk2)
             dead = (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN)
-            if flat_mode:
+            if flat_mode or packed:
                 # flat runs contain only valid entries (culled ones sort
                 # after all real tiles); rows past the tile's count hold
-                # the NEXT tile's entries — mask by count, not by vld
+                # the NEXT tile's entries — mask by count, not by vld.
+                # Packed ALIGNED blocks zero their padding rows (opacity 0)
+                # and carry no valid row, so they mask by count too.
                 dead = dead | (c * BLOCK + row_off + sub >= count_ref[t])
             else:
                 dead = dead | (vld < 0.5)
@@ -590,13 +614,24 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                         do, lambda a: a, carry,
                     )
             else:
+                # straight-line sub-block decomposition (see
+                # rasterize_pallas GS_SB_SL): full/half block instances run
+                # as cond-free width-_SB_SL slices — k slices of width w
+                # pay k*log2(w)*(w/BLOCK) prefix-roll work vs log2(kw)
+                def leaf(width, a):
+                    if _SB_SL and width > _SB_SL:
+                        for off in range(0, width, _SB_SL):
+                            a = block_math(_SB_SL, off, get_blk, c, a)
+                        return a
+                    return block_math(width, 0, get_blk, c, a)
+
                 carry = jax.lax.cond(
                     rem <= BLOCK // 4,
-                    lambda a: block_math(BLOCK // 4, 0, get_blk, c, a),
+                    lambda a: leaf(BLOCK // 4, a),
                     lambda a: jax.lax.cond(
                         rem <= BLOCK // 2,
-                        lambda b: block_math(BLOCK // 2, 0, get_blk, c, b),
-                        lambda b: block_math(BLOCK, 0, get_blk, c, b),
+                        lambda b: leaf(BLOCK // 2, b),
+                        lambda b: leaf(BLOCK, b),
                         a,
                     ),
                     carry,
@@ -630,12 +665,19 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
     num_tiles = grid_x * grid_y
     padded = -(-num_tiles // tiles_per_prog) * tiles_per_prog
     pad = padded - num_tiles
+    # GS_PACK_ALIGN: packed table was realigned into 256-aligned int32
+    # blocks — aligned addressing (no roll) with the packed decode
+    packed_aligned = (use_flat and binned.aligned_blocks.size > 0
+                      and binned.aligned_blocks.dtype == jnp.int32)
+    if packed_aligned:
+        use_flat = False
     start = binned.tile_start if use_flat else binned.ablock_start
     ablock_start = jnp.pad(start, (0, pad))
     tile_count = jnp.pad(binned.tile_count, (0, pad))
     k_total = binned.flat_entries.shape[1]
     win = _FLAT_WIN if use_flat else BLOCK
-    packed = use_flat and binned.flat_entries.dtype == jnp.int32
+    packed = packed_aligned or (
+        use_flat and binned.flat_entries.dtype == jnp.int32)
     n_rows = binned.flat_entries.shape[0] if packed else S_ATTRS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

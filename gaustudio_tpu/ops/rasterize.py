@@ -56,6 +56,11 @@ class RasterizeSettings(NamedTuple):
     # pure inference paths (render scripts, benchmarks)
     with_median: bool = True
     need_grads: bool = True
+    # with_median_id=False keeps the median depth/weight outputs but drops
+    # the gid sort operand feeding median-ID (the reference surfel allmap
+    # treats the id as an OPTIONAL extension: surfel_renderer.py:112-117
+    # reads it only when len(allmap) > 7); the median_id output is then 0
+    with_median_id: bool = True
     # gsplat-style projection (gsplat_renderer.py:38-66): [fx, fy, cx, cy]
     # pixel intrinsics replace the tanfov/projmatrix path in preprocess
     intrinsics: Optional[jnp.ndarray] = None
@@ -149,7 +154,8 @@ def rasterize(
 
         binned_fast = binning_fast.bin_gaussians_fast(
             pre_sg, grid_x, grid_y, settings.num_entries,
-            carry_gid=settings.with_median, carry_slot=settings.need_grads,
+            carry_gid=settings.with_median and settings.with_median_id,
+            carry_slot=settings.need_grads,
             realign=settings.need_grads,  # inference composites from flat
         )
         out = rasterize_pallas.composite_fast(

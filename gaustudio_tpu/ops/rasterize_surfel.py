@@ -422,7 +422,8 @@ def rasterize_surfels(
         sb = SP.bin_surfels_fast(pre_sg, grid_x, grid_y, settings.num_entries,
                                  carry_slot=settings.need_grads,
                                  realign=settings.need_grads,
-                                 carry_gid=settings.with_median)
+                                 carry_gid=settings.with_median
+                                 and settings.with_median_id)
         packed = composite_surfel_fast(
             grid_x, grid_y, settings.need_grads, settings.with_median,
             pre.M, pre.Dk, pre.mean2d,

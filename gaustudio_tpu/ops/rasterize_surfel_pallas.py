@@ -219,6 +219,15 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
         cxr = jnp.clip(expanded_t[19] - 16.0 * txf, -_DXY_CLAMP, _DXY_CLAMP)
         cyr = jnp.clip(expanded_t[20] - 16.0 * tyf, -_DXY_CLAMP, _DXY_CLAMP)
         dkc = lambda v: jnp.clip(v, -_PK_CLAMP, _PK_CLAMP)
+        # Dk2 == the center depth == the sort key's depth (preprocess
+        # builds Dk = [tu_z, tv_z, depths]), so it does NOT ride the sort:
+        # it is reconstructed mid-quantum from the sorted key below
+        # (2^-12 relative, same scheme as binning_fast PACK_KEY1). gid
+        # feeds only the median-id output — an OPTIONAL extension of the
+        # reference surfel allmap (surfel_renderer.py:112-117 reads it
+        # only when len(allmap) > 7) — and is dropped when the caller
+        # does not ask for it. 11 sort operands (or 12 with gid), down
+        # from 13.
         cols = (
             _pack2_f16(mxp[0] * msc, myp[0] * msc),
             _pack2_f16(mxp[1] * msc, myp[1] * msc),
@@ -226,13 +235,13 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
             _pack2_f16(mw[0] * msc, mw[1] * msc),
             _pack2_f16(mw[2] * msc, expanded_t[12]),
             _pack2_f16(dkc(expanded_t[9]), dkc(expanded_t[10])),
-            bc(expanded_t[11]),
             rgb10,
             _pack2_f16(expanded_t[16], expanded_t[17]),
             _pack2_f16(expanded_t[18], jnp.zeros_like(dep)),
             _pack2_f16(cxr, cyr),
-            bc(expanded_t[22]),
         )
+        if carry_gid:
+            cols = cols + (bc(expanded_t[22]),)
         # fused (tile | depth) uint32 key, as binning_fast PACK_KEY1: the
         # top 19 bits of the positive-f32 depth pattern are monotone in
         # depth; culled rows carry tile == num_tiles and sort to the tail
@@ -243,8 +252,17 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
                                   is_stable=False)
         sort_tile = (sorted_ops[0] >> 19).astype(jnp.int32)
         zero_i = jnp.zeros((K,), jnp.int32)
+        # mid-quantum Dk2 reconstruction from the sorted key (2^-12 rel)
+        dep_rec = jax.lax.bitcast_convert_type(
+            ((sorted_ops[0] & jnp.uint32(0x7FFFF)) << _DEPTH_Q_SHIFT)
+            | jnp.uint32(1 << (_DEPTH_Q_SHIFT - 1)),
+            jnp.float32,
+        )
+        gid_row = sorted_ops[11] if carry_gid else zero_i
         flat_entries = jnp.stack(
-            list(sorted_ops[1:]) + [zero_i] * 4, axis=0)  # [16, K] int32
+            list(sorted_ops[1:7]) + [bc(dep_rec)]
+            + list(sorted_ops[7:11]) + [gid_row] + [zero_i] * 4,
+            axis=0)  # [16, K] int32 (row layout unchanged: 6=Dk2, 11=gid)
         pos = tile_ranges(sort_tile, num_tiles)
         tile_start = pos[:num_tiles]
         tile_count = pos[1:] - pos[:-1]
@@ -478,12 +496,38 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 cy = blk[:, 23:24]
                 ex, ey = px, py
 
-            # two-plane ray-splat intersection (reference _surfel_alpha)
-            hu = [ex * mw[k] - mx[k] for k in range(3)]  # (BLOCK, 256) x3
-            hv = [ey * mw[k] - my[k] for k in range(3)]
-            s0 = hu[1] * hv[2] - hu[2] * hv[1]
-            s1 = hu[2] * hv[0] - hu[0] * hv[2]
-            s2 = hu[0] * hv[1] - hu[1] * hv[0]
+            # two-plane ray-splat intersection (reference _surfel_alpha).
+            if packed:
+                # The per-pixel cross product s = (ex*Mw-Mx) x (ey*Mw-My)
+                # is AFFINE in the pixel coords (the ex*ey cross terms
+                # cancel: s_k = a_k*ex + b_k*ey + c_k with (a, b, c) the
+                # adjugate minors of M) — the 21 per-pixel (rows, 256) ops
+                # of the hu/hv form collapse to 6 FMAs, with the 9 minors
+                # computed once per ENTRY on (rows, 1) columns. SAFE ONLY
+                # HERE: the packed table is tile-relative + normalized, so
+                # the minor products stay O(1); at global coordinates the
+                # minors reach ~1e6 with catastrophic cancellation against
+                # px ~ 1e3 (on-chip grad relmax 7.5e-3 when the unpacked
+                # train path used this form — reverted there).
+                # (aj/bj/cj names: bare b0 would shadow the tile base.)
+                aj0 = mw[2] * my[1] - mw[1] * my[2]
+                bj0 = mx[2] * mw[1] - mx[1] * mw[2]
+                cj0 = mx[1] * my[2] - mx[2] * my[1]
+                aj1 = mw[0] * my[2] - mw[2] * my[0]
+                bj1 = mx[0] * mw[2] - mx[2] * mw[0]
+                cj1 = mx[2] * my[0] - mx[0] * my[2]
+                aj2 = mw[1] * my[0] - mw[0] * my[1]
+                bj2 = mx[1] * mw[0] - mx[0] * mw[1]
+                cj2 = mx[0] * my[1] - mx[1] * my[0]
+                s0 = aj0 * ex + bj0 * ey + cj0  # (rows, 256)
+                s1 = aj1 * ex + bj1 * ey + cj1
+                s2 = aj2 * ex + bj2 * ey + cj2
+            else:
+                hu = [ex * mw[k] - mx[k] for k in range(3)]
+                hv = [ey * mw[k] - my[k] for k in range(3)]
+                s0 = hu[1] * hv[2] - hu[2] * hv[1]
+                s1 = hu[2] * hv[0] - hu[0] * hv[2]
+                s2 = hu[0] * hv[1] - hu[1] * hv[0]
             sz = jnp.where(jnp.abs(s2) < 1e-9, 1e-9, s2)
             # one reciprocal + two muls instead of two (rows, 256) divides
             rz = 1.0 / sz

@@ -169,7 +169,10 @@ def _surfel_bwd_kernel(start_ref, count_ref, grads_in, ct_ref,
             cx = blk[:, 22:23]
             cy = blk[:, 23:24]
 
-            # recompute the forward intersection (same as fwd kernel)
+            # recompute the forward intersection (same op order as the
+            # fwd kernel's UNPACKED branch — the adjugate affine form is
+            # ill-conditioned at global pixel coordinates, see the fwd
+            # kernel note)
             hu = [px * mw[k] - mx[k] for k in range(3)]
             hv = [py * mw[k] - my[k] for k in range(3)]
             s0 = hu[1] * hv[2] - hu[2] * hv[1]

@@ -105,6 +105,12 @@ def extract_mesh(
     """
     cams = [c.downsample_scale(downsample) for c in cameras[::stride]]
 
+    # the fusion loop reads median depth + final opacity, never median-ID:
+    # drop the gid sort operand from every per-view render (the reference
+    # allmap id channel is an optional extension, surfel_renderer.py:112)
+    if hasattr(renderer, "config"):
+        renderer.config.setdefault("median_id", False)
+
     # volume bounds from the gaussian centers (the reference's VDB is
     # unbounded; we size a dense grid from the scene's robust bbox)
     lo, hi = tsdf.integrate_points_bounds(np.asarray(pcd.get_attribute("xyz")))

@@ -60,6 +60,12 @@ class BaseRenderer:
             # with need_grads=True; differentiating through a renderer
             # raises loudly unless config["need_grads"] is set.
             need_grads=bool(self.config.get("need_grads", False)),
+            # median_id=False drops the gid sort operand but keeps the
+            # median depth/weight outputs (median-ID reads 0) — set by
+            # consumers that never read ids (mesh extraction); the
+            # reference treats the id channel as an optional allmap
+            # extension (surfel_renderer.py:112-117)
+            with_median_id=bool(self.config.get("median_id", True)),
         )
 
     def _capacity(self, camera, xyz, opacity, scales, rotations, cov3d,

@@ -53,8 +53,12 @@ def main():
     args = tuple(jnp.asarray(a) for a in (xyz, opac, scales, quats, colors))
 
     def make(backend, iters, need_grads=True):
+        # inference mirrors the mesh-extraction renderer mode: median depth
+        # on, median-ID off (the reference's standard 7-channel allmap has
+        # no id channel; it is an optional extension)
         s = base._replace(num_entries=cap, backend=backend,
-                          need_grads=need_grads)
+                          need_grads=need_grads,
+                          with_median_id=need_grads)
 
         @jax.jit
         def render(xyz, opac, scales, quats, colors):

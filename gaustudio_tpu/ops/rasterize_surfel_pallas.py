@@ -62,6 +62,14 @@ from gaustudio_tpu.ops.rasterize_pallas import (
 # rows) instead of two 12-operand stable sorts, and the compositor windows
 # DMA a [16, K] int32 table instead of [24, K] f32.
 SURFEL_PACK = __import__("os").environ.get("GS_SURFEL_PACK", "1") == "1"
+# Measured DEAD END (on-chip A/B 2026-08-20, 1080p/200k/1.41M entries):
+# the affine-adjugate cross product (9 per-entry minors + 6 per-pixel
+# FMAs) LOSES to the direct hu/hv form (21 per-pixel ops): 38.18 vs
+# 47.84 MPix/s inference. A (rows, 1) column op still occupies a full
+# 8x128 VPU register on TPU, so the "per-entry" minors cost ~half a
+# (rows, 256) op EACH — 18 half-ops + 6 full beats 21 full only on
+# paper; in practice the extra live registers also spill. Default OFF.
+SURFEL_ADJ = __import__("os").environ.get("GS_SURFEL_ADJ", "0") == "1"
 _PK_CLAMP = 60000.0  # f16-overflow guard for the Dk0/Dk1 slope pair
 
 S_ATTRS = 24  # entry rows (multiple of 8)
@@ -497,7 +505,7 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 ex, ey = px, py
 
             # two-plane ray-splat intersection (reference _surfel_alpha).
-            if packed:
+            if packed and SURFEL_ADJ:
                 # The per-pixel cross product s = (ex*Mw-Mx) x (ey*Mw-My)
                 # is AFFINE in the pixel coords (the ex*ey cross terms
                 # cancel: s_k = a_k*ex + b_k*ey + c_k with (a, b, c) the

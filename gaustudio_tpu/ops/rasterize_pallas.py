@@ -128,7 +128,8 @@ def _half_hi(u):
 def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int,
                       with_median: bool = True, flat_mode: bool = False,
-                      k_total: int = 0, packed: bool = False):
+                      k_total: int = 0, packed: bool = False,
+                      with_nc: bool = True):
     """Tile compositor.
 
     Aligned mode (default): consumes realigned [NB, 16, 256] blocks.
@@ -350,8 +351,15 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 )
                 mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi)
 
-            pos1 = (pos + 1).astype(jnp.float32)
-            nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0, keepdims=True))
+            if with_nc:
+                # n_contrib feeds ONLY the nc-trusting backward walk; the
+                # reference wrapper never returns it to callers
+                # (rasterize_points.cu keeps it in the image state) — so
+                # inference skips the compare + select + max reduction
+                pos1 = (pos + 1).astype(jnp.float32)
+                nc = jnp.maximum(
+                    nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
+                                keepdims=True))
 
             return (T, alive, r, gg, b, d, md, mw, mi, nc)
 
@@ -487,7 +495,8 @@ _SB_SL = int(__import__("os").environ.get("GS_SB_SL", "128"))
 
 def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
                      tiles_per_prog: int = _TPP_DEFAULT,
-                     with_median: bool = True, use_flat: bool = False):
+                     with_median: bool = True, use_flat: bool = False,
+                     with_nc: bool = True):
     """Run the tile compositor; returns packed [T, 16, 256] tile outputs
     (channel-major, pixels on lanes).
 
@@ -529,7 +538,8 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
     )
     kernel = partial(_composite_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog, with_median=with_median,
-                     flat_mode=use_flat, k_total=k_total, packed=packed)
+                     flat_mode=use_flat, k_total=k_total, packed=packed,
+                     with_nc=with_nc)
     data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,
@@ -591,7 +601,7 @@ def composite_fast(grid_x, grid_y, chunk, with_median, need_grads, means2d,
     training loss never reads it); those outputs keep their defaults.
     """
     packed = composite_pallas(binned, grid_x, grid_y, with_median=with_median,
-                              use_flat=not need_grads)
+                              use_flat=not need_grads, with_nc=need_grads)
     return _packed_to_tilemajor(packed, grid_x * grid_y)
 
 

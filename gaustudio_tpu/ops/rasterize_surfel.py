@@ -322,7 +322,8 @@ def composite_surfel_fast(grid_x, grid_y, need_grads, with_median, M, Dk,
 
     return SP.composite_surfel_pallas(binned, grid_x, grid_y,
                                       use_flat=not need_grads,
-                                      with_median=with_median)
+                                      with_median=with_median,
+                                      with_nc=need_grads)
 
 
 def _csf_fwd(grid_x, grid_y, need_grads, with_median, M, Dk, mean2d,

@@ -58,7 +58,7 @@ from gaustudio_tpu.ops.rasterize_pallas import (
 # invariant to a global scale of M, so dividing all 9 coefficients by
 # max|M'| puts them in [-1, 1] where f16's 2^-11 relative error costs
 # ~1.5e-3 in (u, v) — inside the inference parity gate). Entries then ride
-# ONE 13-operand sort (fused (tile|depth) uint32 key + 12 packed payload
+# ONE 10-12-operand sort (fused (tile|depth) uint32 key + packed payload
 # rows) instead of two 12-operand stable sorts, and the compositor windows
 # DMA a [16, K] int32 table instead of [24, K] f32.
 SURFEL_PACK = __import__("os").environ.get("GS_SURFEL_PACK", "1") == "1"
@@ -70,6 +70,11 @@ SURFEL_PACK = __import__("os").environ.get("GS_SURFEL_PACK", "1") == "1"
 # (rows, 256) op EACH — 18 half-ops + 6 full beats 21 full only on
 # paper; in practice the extra live registers also spill. Default OFF.
 SURFEL_ADJ = __import__("os").environ.get("GS_SURFEL_ADJ", "0") == "1"
+# Pack the unit world normal as 10-bit fixed-point channels in one int32
+# (the rgb10 scheme): drops one sort operand (~1 ms at 1.4M entries).
+# Quantization 2^-9 on a unit vector — bounded 1e-3 normal error, far
+# inside the mesh-extraction normal-fusion tolerance.
+SURFEL_NPACK = __import__("os").environ.get("GS_SURFEL_NPACK", "1") == "1"
 _PK_CLAMP = 60000.0  # f16-overflow guard for the Dk0/Dk1 slope pair
 
 S_ATTRS = 24  # entry rows (multiple of 8)
@@ -244,10 +249,19 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
             _pack2_f16(mw[2] * msc, expanded_t[12]),
             _pack2_f16(dkc(expanded_t[9]), dkc(expanded_t[10])),
             rgb10,
-            _pack2_f16(expanded_t[16], expanded_t[17]),
-            _pack2_f16(expanded_t[18], jnp.zeros_like(dep)),
-            _pack2_f16(cxr, cyr),
         )
+        if SURFEL_NPACK:
+            qn = lambda v: (jnp.round(jnp.clip(v, -1.0, 1.0) * 511.0)
+                            .astype(jnp.int32) + 512)
+            npack = (qn(expanded_t[16]) | (qn(expanded_t[17]) << 10)
+                     | (qn(expanded_t[18]) << 20))
+            cols = cols + (npack, _pack2_f16(cxr, cyr))
+        else:
+            cols = cols + (
+                _pack2_f16(expanded_t[16], expanded_t[17]),
+                _pack2_f16(expanded_t[18], jnp.zeros_like(dep)),
+                _pack2_f16(cxr, cyr),
+            )
         if carry_gid:
             cols = cols + (bc(expanded_t[22]),)
         # fused (tile | depth) uint32 key, as binning_fast PACK_KEY1: the
@@ -266,11 +280,15 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
             | jnp.uint32(1 << (_DEPTH_Q_SHIFT - 1)),
             jnp.float32,
         )
-        gid_row = sorted_ops[11] if carry_gid else zero_i
+        # payload count WITHOUT the optional gid tail operand
+        n_pay = len(cols) - (1 if carry_gid else 0)  # 9 (npack) or 10
+        gid_row = sorted_ops[1 + n_pay] if carry_gid else zero_i
         flat_entries = jnp.stack(
             list(sorted_ops[1:7]) + [bc(dep_rec)]
-            + list(sorted_ops[7:11]) + [gid_row] + [zero_i] * 4,
-            axis=0)  # [16, K] int32 (row layout unchanged: 6=Dk2, 11=gid)
+            + list(sorted_ops[7:1 + n_pay]) + [gid_row]
+            + [zero_i] * (16 - 2 - n_pay),
+            axis=0)  # [16, K] int32; rows 0-5 M/dk01, 6 Dk2, then
+        # rgb10 + (npack, cxy | n01, n2, cxy) + gid, zero-padded to 16
         pos = tile_ranges(sort_tile, num_tiles)
         tile_start = pos[:num_tiles]
         tile_count = pos[1:] - pos[:-1]
@@ -381,7 +399,8 @@ _FLAT_WIN = 4 * 128  # flat-mode window lanes (see rasterize_pallas)
 def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                    *, grid_x: int, tiles_per_prog: int,
                    flat_mode: bool = False, k_total: int = 0,
-                   with_median: bool = True, packed: bool = False):
+                   with_median: bool = True, packed: bool = False,
+                   with_nc: bool = True):
     gprog = pl.program_id(0)
     subl = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
@@ -476,12 +495,22 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 col_r = (rgb & 1023).astype(jnp.float32) * _RGB10_INV
                 col_g = ((rgb >> 10) & 1023).astype(jnp.float32) * _RGB10_INV
                 col_b = ((rgb >> 20) & 1023).astype(jnp.float32) * _RGB10_INV
-                nr0 = _half_lo(blk[:, 8:9])
-                nr1 = _half_hi(blk[:, 8:9])
-                nr2 = _half_lo(blk[:, 9:10])
-                cx = _half_lo(blk[:, 10:11])
-                cy = _half_hi(blk[:, 10:11])
-                gid = bcf(blk[:, 11:12])
+                if SURFEL_NPACK:
+                    npk = blk[:, 8:9]
+                    dqn = lambda q: (q.astype(jnp.float32) - 512.0) * (1 / 511.0)
+                    nr0 = dqn(npk & 1023)
+                    nr1 = dqn((npk >> 10) & 1023)
+                    nr2 = dqn((npk >> 20) & 1023)
+                    cx = _half_lo(blk[:, 9:10])
+                    cy = _half_hi(blk[:, 9:10])
+                    gid = bcf(blk[:, 10:11])
+                else:
+                    nr0 = _half_lo(blk[:, 8:9])
+                    nr1 = _half_hi(blk[:, 8:9])
+                    nr2 = _half_lo(blk[:, 9:10])
+                    cx = _half_lo(blk[:, 10:11])
+                    cy = _half_hi(blk[:, 10:11])
+                    gid = bcf(blk[:, 11:12])
                 vld = None
                 ex, ey = qx, qy
             else:
@@ -623,9 +652,12 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                     jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
                 )
 
-            pos1 = (c * BLOCK + row_off + sub + 1).astype(jnp.float32)
-            nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0), 0,
-                                         keepdims=True))
+            if with_nc:
+                # n_contrib feeds only the nc-trusting backward; inference
+                # (mesh extraction) never reads it — skip the tracking
+                pos1 = (c * BLOCK + row_off + sub + 1).astype(jnp.float32)
+                nc = jnp.maximum(nc, jnp.max(jnp.where(w > 0.0, pos1, 0.0),
+                                             0, keepdims=True))
             return (T, alive, r, gg, b, D, n0, n1, n2, md, mwt, mi, m2, nc)
 
         def body(state):
@@ -710,7 +742,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
                             tiles_per_prog: int = 8,
                             use_flat: bool = False,
-                            with_median: bool = True):
+                            with_median: bool = True,
+                            with_nc: bool = True):
     """[T, 16, 256] packed surfel buffers: rows 0-2 rgb, 3 depth-sum (=m1),
     4-6 view normal, 7 med_d, 8 med_w, 9 med_i, 10 final_T, 11 m2,
     12 n_contrib."""
@@ -746,7 +779,8 @@ def composite_surfel_pallas(binned: SurfelBinned, grid_x: int, grid_y: int,
     )
     kernel = partial(_surfel_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog, flat_mode=use_flat,
-                     k_total=k_total, with_median=with_median, packed=packed)
+                     k_total=k_total, with_median=with_median, packed=packed,
+                     with_nc=with_nc)
     data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,

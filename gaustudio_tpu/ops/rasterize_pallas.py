@@ -47,6 +47,14 @@ _MEDIAN_DEFAULT = 15.0
 # padded up for DMA-friendly sublane tiling. 16 was the historical default;
 # 9 cuts the [T, NUM_OUT, 256] write traffic ~44% (A/B via GS_NUM_OUT).
 NUM_OUT = int(__import__("os").environ.get("GS_NUM_OUT", "16"))
+if NUM_OUT < 9 or NUM_OUT % 8 not in (0, 1):
+    # r4 sweep: a 9-row (non-8-multiple sublane) output block stalled the
+    # Mosaic compile >17 min; values < 9 drop live state rows entirely
+    # (inference with with_nc=False auto-selects an 8-row block — that path
+    # is chosen by the kernel, not this knob)
+    raise ValueError(
+        f"GS_NUM_OUT={NUM_OUT}: need >= 9 and a multiple of 8 (or exactly "
+        "9, at your own compile-time risk) — see docs/runs/r4_sweep.md")
 
 # MXU power-matmul mode. The per-(entry, pixel) quadratic power is a rank-6
 # bilinear form power = F(entry) @ G(pixel) with G = [qx^2, qy^2, qx*qy,
@@ -129,7 +137,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                       *, grid_x: int, tiles_per_prog: int,
                       with_median: bool = True, flat_mode: bool = False,
                       k_total: int = 0, packed: bool = False,
-                      with_nc: bool = True):
+                      with_nc: bool = True, num_out: int = NUM_OUT):
     """Tile compositor.
 
     Aligned mode (default): consumes realigned [NB, 16, 256] blocks.
@@ -155,8 +163,12 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         ).astype(jnp.bfloat16)  # (8, 256)
 
     # DMA slot layout: slots 0/1 ping-pong for blocks >= 1 of the current
-    # tile; slots 2/3 hold tiles' FIRST blocks, prefetched one tile ahead so
-    # the per-tile pipeline restart does not stall on HBM latency.
+    # tile; slots 2..2+P hold tiles' FIRST blocks, prefetched GS_PREF_DEPTH
+    # tiles ahead so the per-tile pipeline restart does not stall on HBM
+    # latency (at ~1.1 blocks/tile the first-block fetch IS the tile's DMA
+    # critical path).
+    n_pref = max(2, _PREF_DEPTH + 1)
+
     def tile_meta(t):
         return ablock_ref[t], (count_ref[t] + BLOCK - 1) // BLOCK
 
@@ -179,18 +191,19 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
         @pl.when(nb > 0)
         def _():
-            block_dma(b0, 0, 2 + i % 2).start()
+            block_dma(b0, 0, 2 + i % n_pref).start()
 
-    start_first_dma(0, g * tiles_per_prog)
+    for p in range(min(_PREF_DEPTH, tiles_per_prog)):
+        start_first_dma(p, g * tiles_per_prog + p)
 
     def tile_body(i, _):
         t = g * tiles_per_prog + i
         count = count_ref[t]
         b0, n_blocks = tile_meta(t)
 
-        @pl.when(i + 1 < tiles_per_prog)
+        @pl.when(i + _PREF_DEPTH < tiles_per_prog)
         def _():
-            start_first_dma(i + 1, t + 1)
+            start_first_dma(i + _PREF_DEPTH, t + _PREF_DEPTH)
 
         tx = (t % grid_x).astype(jnp.float32)
         ty = (t // grid_x).astype(jnp.float32)
@@ -209,7 +222,7 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             row(0.0),  # g
             row(0.0),  # b
             row(0.0),  # depth
-            row(_MEDIAN_DEFAULT),  # med_d
+            row(0.0),  # med_d ACCUMULATOR (default applied at the store)
             row(0.0),  # med_w
             row(0.0),  # med_i
             row(0.0),  # n_contrib
@@ -261,6 +274,10 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                     gid = bcf(blk[:, 6:7])
                 dx = dxr - qx  # (rows, 256): entries x pixels
                 dy = dyr - qy
+                # expanded quadratic: the "fewer-FMA" Horner-ish factoring
+                # -(dx*(0.5ca*dx + cb*dy) + 0.5cc*dy^2) measured SLOWER
+                # on-chip (79.7 vs 80.8 — Mosaic schedules the expanded
+                # form better); see docs/runs/r5_sweep.md
                 power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             else:
                 mx = blk[:, 0:1]
@@ -283,32 +300,59 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                     dx = mx - px  # (rows, 256): entries x pixels
                     dy = my - py
                     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            Ge = jnp.exp(jnp.minimum(power, 0.0))
-            alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
             # position within the (aligned) tile run
             pos = c * BLOCK + row_off + sub
-            # aligned mode: realign zeroes padding rows (vld = 0); flat
-            # mode: every entry inside a tile's run is valid by
-            # construction (culled entries sort after all real tiles), and
-            # rows past the run's end hold the NEXT tile's entries, so
-            # masking by the true count replaces the valid row entirely
-            dead = (power > 0.0) | (alpha < _ALPHA_MIN)
+            # dead-entry masking folded INTO the exp argument: exp(-1e4)
+            # underflows to exactly 0 in f32, so pushed-out entries get
+            # alpha = 0 without a separate select. Masks:
+            #   * power > 0 (outside the ellipse, forward.cu:335);
+            #   * aligned mode: realign zeroes padding rows (vld = 0);
+            #   * flat mode: every entry inside a tile's run is valid by
+            #     construction (culled entries sort after all real tiles),
+            #     and rows past the run's end hold the NEXT tile's entries,
+            #     so the (rows, 1) count mask replaces the valid row
             if flat_mode or packed:
-                # packed aligned blocks have no valid row; padding rows are
-                # zeroed (alpha 0) and additionally masked by the count
-                dead = dead | (pos >= count)
+                invalid_row = pos >= count  # (rows, 1) — broadcast is free
             else:
-                dead = dead | (vld < 0.5)
-            alpha = jnp.where(dead, 0.0, alpha)
+                invalid_row = vld < 0.5
+            Ge = jnp.exp(jnp.where((power > 0.0) | invalid_row, -1e4, power))
+            alpha = jnp.minimum(_ALPHA_MAX, op * Ge)
+            # sub-threshold contributions are skipped (forward.cu:341)
+            alpha = jnp.where(alpha < _ALPHA_MIN, 0.0, alpha)
 
             # sublane-axis (entry-axis) inclusive prefix product
             cum = 1.0 - alpha
-            sft = 1
-            while sft < rows:
-                shifted = pltpu.roll(cum, sft, axis=0)
-                shifted = jnp.where(sub < sft, 1.0, shifted)
-                cum = cum * shifted
-                sft *= 2
+            if _PFX2 and rows >= 32:
+                # two-level scan with a NARROW middle: 3 group-local
+                # Hillis-Steele steps (masked at 8-row group boundaries),
+                # then the cross-group exclusive scan runs on the (rows/8,
+                # 256) group-totals array — 1/8 the vregs of the full-width
+                # steps 8..rows/2 it replaces — and broadcasts back via
+                # sublane repeat.
+                for sft in (1, 2, 4):
+                    shifted = pltpu.roll(cum, sft, axis=0)
+                    shifted = jnp.where(sub % 8 < sft, 1.0, shifted)
+                    cum = cum * shifted
+                g = cum.reshape(rows // 8, 8, TILE_PIXELS)[:, 7, :]
+                subg = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows // 8, 1), 0)
+                sft = 1
+                while sft < rows // 8:
+                    sh = pltpu.roll(g, sft, axis=0)
+                    g = g * jnp.where(subg < sft, 1.0, sh)
+                    sft *= 2
+                # exclusive group offsets, broadcast 8x down the sublanes
+                excg = jnp.where(subg < 1, 1.0, pltpu.roll(g, 1, axis=0))
+                cum = cum * pltpu.repeat(
+                    excg.reshape(rows // 8, 1, TILE_PIXELS), 8, axis=1
+                ).reshape(rows, TILE_PIXELS)
+            else:
+                sft = 1
+                while sft < rows:
+                    shifted = pltpu.roll(cum, sft, axis=0)
+                    shifted = jnp.where(sub < sft, 1.0, shifted)
+                    cum = cum * shifted
+                    sft *= 2
 
             # exclusive prefix = inclusive rolled down one entry (row 0
             # reads 1): two cheap vector ops replace the (rows, 256)
@@ -324,6 +368,9 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             # reconstruct 1/(1-alpha) factors for entries the forward
             # skipped while dead (the at-scale training grad blow-up).
             applied = (P_incl >= _TERM_EPS) & (alive > 0.0)
+            # NOT P_excl - P_incl: the prefix tree associates cum_i and
+            # exc_i differently, so dead rows (alpha = 0) round to +-1 ulp
+            # instead of exactly 0 — which poisons the w>0 n_contrib count
             w = jnp.where(applied, alpha * P_excl, 0.0)
 
             r = r + jnp.sum(w * col_r, axis=0, keepdims=True)
@@ -331,25 +378,26 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             b = b + jnp.sum(w * col_b, axis=0, keepdims=True)
             d = d + jnp.sum(w * dep, axis=0, keepdims=True)
 
+            # P_incl is monotone non-increasing down the block, so the
+            # end-of-block raw product is its LAST ROW — a static (1, 256)
+            # slice instead of a tree min-reduction (uses the pre-update T)
+            alive = alive * (T * cum[rows - 1:rows, :]
+                             >= _TERM_EPS).astype(jnp.float32)
             T = jnp.minimum(
                 T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0, keepdims=True)
             )
-            # P_incl is monotone non-increasing down the block, so its
-            # column min is the end-of-block raw product
-            alive = alive * (jnp.min(P_incl, axis=0, keepdims=True)
-                             >= _TERM_EPS).astype(jnp.float32)
 
             if with_median:
-                # median-depth trio (the 0.5-crossing entry): skipped when
-                # the caller doesn't consume it (training loss) — ~1/3 of
-                # the per-block reductions
-                cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
-                crossed = jnp.any(cross, axis=0, keepdims=True)
-                md = jnp.where(crossed, jnp.sum(jnp.where(cross, dep, 0.0), 0, keepdims=True), md)
-                mw = jnp.where(
-                    crossed, jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0, keepdims=True), mw
-                )
-                mi = jnp.where(crossed, jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi)
+                # median-depth trio (the 0.5-crossing entry): the crossing
+                # is UNIQUE across the whole front-to-back walk (the
+                # applied P chain is monotone), so plain accumulation
+                # replaces the any-reduction + crossed-selects; the
+                # "never crossed" default is applied once at the store
+                cross = applied & (P_excl > 0.5) & (P_incl < 0.5)
+                # alpha == 0 cannot cross (P_excl == P_incl); no extra mask
+                md = md + jnp.sum(jnp.where(cross, dep, 0.0), 0, keepdims=True)
+                mw = mw + jnp.sum(jnp.where(cross, w, 0.0), 0, keepdims=True)
+                mi = mi + jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True)
 
             if with_nc:
                 # n_contrib feeds ONLY the nc-trusting backward walk; the
@@ -366,8 +414,8 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         def body(state):
             c = state[0]
             carry = state[1:]
-            # first block was prefetched into slot 2 + i%2 one tile ahead
-            slot = jnp.where(c == 0, 2 + i % 2, c % 2)
+            # first block was prefetched into a rotating slot tiles ahead
+            slot = jnp.where(c == 0, 2 + i % n_pref, c % 2)
 
             @pl.when(c + 1 < n_blocks)
             def _():
@@ -451,21 +499,32 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
         def _():
             get_dma(c_fin % 2, c_fin).wait()
 
-        # one (NUM_OUT, 256) store: 9 state rows (+ pad rows when NUM_OUT>9)
+        # md carried as an accumulator; the never-crossed default applies
+        # once here instead of per-block
+        md = jnp.where(mw > 0.0, md, _MEDIAN_DEFAULT)
+        # one (num_out, 256) store: 9 state rows (+ pad rows when num_out>9)
+        # or the 8 live inference rows when nc is skipped (num_out == 8)
         if _OUT8_PROBE:
             # TIMING-ONLY probe (drops nc): writes one aligned 8-sublane
             # tile to measure the output-write cost share. Never production.
             out_ref[i, 0:8] = jnp.concatenate(
                 [r, gg, b, d, md, mw, mi, T], axis=0)
+        elif num_out == 8:
+            assert not with_nc
+            out_ref[i] = jnp.concatenate([r, gg, b, d, md, mw, mi, T], axis=0)
         else:
             rows_out = [r, gg, b, d, md, mw, mi, T, nc]
-            if NUM_OUT > 9:
+            if num_out > 9:
                 rows_out.append(
-                    jnp.zeros((NUM_OUT - 9, TILE_PIXELS), jnp.float32))
+                    jnp.zeros((num_out - 9, TILE_PIXELS), jnp.float32))
             out_ref[i] = jnp.concatenate(rows_out, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
+    if _TPP_UNROLL:
+        for i in range(tiles_per_prog):
+            tile_body(i, 0)
+    else:
+        jax.lax.fori_loop(0, tiles_per_prog, tile_body, 0)
 
 
 # 8 tiles/program measured best on v5e (r3 sweep: 8 > 4 > 16 > 2 > 1)
@@ -485,6 +544,27 @@ _SUBBLK = int(__import__("os").environ.get("GS_SUBBLK", "0"))
 _NOROLL = __import__("os").environ.get("GS_FLAT_NOROLL", "0") == "1"
 # timing-only: 8-row partial output write (drops nc — cost probe)
 _OUT8_PROBE = __import__("os").environ.get("GS_OUT8_PROBE", "0") == "1"
+if _NOROLL or _OUT8_PROBE:
+    # a stray env var must not silently corrupt production renders: these
+    # probes produce KNOWINGLY WRONG images and exist only for kernel
+    # cost attribution (docs/runs/r4_sweep.md)
+    import warnings
+
+    warnings.warn(
+        "GS_FLAT_NOROLL/GS_OUT8_PROBE timing-only probe enabled: rendered "
+        "images are INTENTIONALLY WRONG (kernel cost attribution mode)",
+        stacklevel=2,
+    )
+# real 8-row inference output block (with_nc=False only; A/B knob)
+_INFER_OUT8 = __import__("os").environ.get("GS_INFER_OUT8", "1") == "1"
+# two-level prefix product with a narrow cross-group scan (A/B knob)
+_PFX2 = __import__("os").environ.get("GS_PFX2", "0") == "1"
+# cross-tile first-block prefetch depth (slots 2..2+max(2, depth+1))
+_PREF_DEPTH = int(__import__("os").environ.get("GS_PREF_DEPTH", "1"))
+_N_SLOTS = 2 + max(2, _PREF_DEPTH + 1)
+# unroll the per-program tile loop (static tiles_per_prog) instead of
+# lax.fori_loop — lets Mosaic software-pipeline across tile boundaries
+_TPP_UNROLL = __import__("os").environ.get("GS_TPP_UNROLL", "0") == "1"
 # Straight-line sub-block width for the r3 quarter-instance path: full
 # (and half) block instances run as cond-free width-N slices, trading
 # ~25% of the prefix roll-chain work for more instruction issue. 0
@@ -523,27 +603,31 @@ def composite_pallas(binned: BinnedBlocks, grid_x: int, grid_y: int,
         use_flat and binned.flat_entries.dtype == jnp.int32)
     win = _FLAT_WIN if use_flat else BLOCK
     n_rows = binned.flat_entries.shape[0] if packed else NUM_ATTRS
+    # inference (with_nc=False) has exactly 8 live state rows: an aligned
+    # 8-sublane output block halves write traffic vs the padded 16 and
+    # avoids the 9-row Mosaic layout stall (docs/runs/r4_sweep.md)
+    num_out = 8 if (not with_nc and _INFER_OUT8) else NUM_OUT
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(padded // tiles_per_prog,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tiles_per_prog, NUM_OUT, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
+            (tiles_per_prog, num_out, TILE_PIXELS), lambda t, f, c: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, n_rows, win),
+            pltpu.VMEM((_N_SLOTS, n_rows, win),
                        jnp.int32 if packed else jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((_N_SLOTS,)),
         ],
     )
     kernel = partial(_composite_kernel, grid_x=grid_x,
                      tiles_per_prog=tiles_per_prog, with_median=with_median,
                      flat_mode=use_flat, k_total=k_total, packed=packed,
-                     with_nc=with_nc)
+                     with_nc=with_nc, num_out=num_out)
     data = binned.flat_entries if use_flat else binned.aligned_blocks
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((padded, NUM_OUT, TILE_PIXELS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded, num_out, TILE_PIXELS), jnp.float32),
         grid_spec=grid_spec,
         # programs are self-contained per tile-group (own DMA chains,
         # disjoint outputs): splittable across cores on multi-core TPU
@@ -573,6 +657,10 @@ def _packed_to_tilemajor(packed, num_tiles):
     pad = lambda x, v=0.0: jnp.concatenate(
         [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0
     )
+    # 8-row inference output drops the nc row (no consumer on
+    # need_grads=False paths; see composite_pallas num_out)
+    nc = (packed[:, 8, :] if packed.shape[1] > 8
+          else jnp.zeros_like(packed[:, 7, :]))
     return RR.CompositeOut(
         color=pad(packed[:, 0:3, :].transpose(0, 2, 1)),
         depth=pad(packed[:, 3, :]),
@@ -580,7 +668,7 @@ def _packed_to_tilemajor(packed, num_tiles):
         median_weight=pad(packed[:, 5, :]),
         median_id=pad(packed[:, 6, :]),
         final_T=pad(packed[:, 7, :], 1.0),
-        n_contrib=pad(packed[:, 8, :], 0.0).astype(jnp.int32),
+        n_contrib=pad(nc, 0.0).astype(jnp.int32),
     )
 
 

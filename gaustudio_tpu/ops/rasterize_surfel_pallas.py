@@ -75,7 +75,14 @@ SURFEL_ADJ = __import__("os").environ.get("GS_SURFEL_ADJ", "0") == "1"
 # Quantization 2^-9 on a unit vector — bounded 1e-3 normal error, far
 # inside the mesh-extraction normal-fusion tolerance.
 SURFEL_NPACK = __import__("os").environ.get("GS_SURFEL_NPACK", "1") == "1"
-_PK_CLAMP = 60000.0  # f16-overflow guard for the Dk0/Dk1 slope pair
+# Dk0/Dk1 depth slopes ride as f16 of v/16: f16's relative precision
+# (2^-11) is scale-free, so dividing by 16 extends the representable range
+# to +-960000 (covering grazing, near-edge-on surfels whose slopes
+# overflowed the old direct-f16 clamp and rendered a flattened depth
+# plane) at no precision cost; slopes below ~1e-3 flush to zero through
+# the f16 subnormal range (depth error <= 3e-3 across a 3-sigma extent).
+_PK_DK_SCALE = 16.0
+_PK_CLAMP = 60000.0 * _PK_DK_SCALE  # post-scale f16-overflow guard
 
 S_ATTRS = 24  # entry rows (multiple of 8)
 _TBL_ROWS = 32  # expand-table height: 28 used rows, sublane-padded
@@ -247,7 +254,8 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
             _pack2_f16(mxp[2] * msc, myp[2] * msc),
             _pack2_f16(mw[0] * msc, mw[1] * msc),
             _pack2_f16(mw[2] * msc, expanded_t[12]),
-            _pack2_f16(dkc(expanded_t[9]), dkc(expanded_t[10])),
+            _pack2_f16(dkc(expanded_t[9]) / _PK_DK_SCALE,
+                       dkc(expanded_t[10]) / _PK_DK_SCALE),
             rgb10,
         )
         if SURFEL_NPACK:
@@ -488,8 +496,8 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 mw = [_half_lo(blk[:, 3:4]), _half_hi(blk[:, 3:4]),
                       _half_lo(blk[:, 4:5])]
                 op = _half_hi(blk[:, 4:5])
-                dk0 = _half_lo(blk[:, 5:6])
-                dk1 = _half_hi(blk[:, 5:6])
+                dk0 = _half_lo(blk[:, 5:6]) * _PK_DK_SCALE
+                dk1 = _half_hi(blk[:, 5:6]) * _PK_DK_SCALE
                 dk2 = bcf(blk[:, 6:7])
                 rgb = blk[:, 7:8]
                 col_r = (rgb & 1023).astype(jnp.float32) * _RGB10_INV

@@ -114,6 +114,21 @@ def integrate(volume: TSDFVolume, depth, intrinsics, world_to_cam,
     )
 
 
+@jax.jit
+def integrate_batch(volume: TSDFVolume, depths, intrinsics,
+                    world_to_cam) -> TSDFVolume:
+    """Fuse a stacked batch of views ([B, H, W] depths, [B, 3, 3], [B, 4, 4])
+    sequentially via lax.scan — one dispatch for a whole camera-DP render
+    batch instead of B relay round-trips."""
+
+    def body(vol, x):
+        d, K, E = x
+        return integrate(vol, d, K, E), None
+
+    vol, _ = jax.lax.scan(body, volume, (depths, intrinsics, world_to_cam))
+    return vol
+
+
 def integrate_points_bounds(points) -> Tuple[np.ndarray, np.ndarray]:
     """Host helper: robust (5/95 percentile, padded) bounds of a point set —
     the reference's get_center_and_size idea (models/base.py:32-40)."""

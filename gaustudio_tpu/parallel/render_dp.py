@@ -27,6 +27,31 @@ class RenderCamera(NamedTuple):
     campos: jnp.ndarray  # [B, 3]
     intrinsics: jnp.ndarray  # [B, 3, 3]
     world_to_cam: jnp.ndarray  # [B, 4, 4]
+    valid: jnp.ndarray = None  # [B] 1.0 real view / 0.0 pad (optional)
+
+
+def stack_cameras(cameras, pad_to: int = 0) -> RenderCamera:
+    """Stack Camera objects into a RenderCamera, padding to a multiple of
+    ``pad_to`` with valid=0 repeats of the first view (a padded row renders
+    normally but its depth is zeroed before TSDF integration, so it
+    contributes nothing — tsdf.integrate treats depth <= 0 as invalid)."""
+    n = len(cameras)
+    total = n if pad_to <= 0 else -(-n // pad_to) * pad_to
+    idx = list(range(n)) + [0] * (total - n)
+    return RenderCamera(
+        viewmatrix=jnp.stack(
+            [jnp.asarray(cameras[i].world_view_transform) for i in idx]),
+        projmatrix=jnp.stack(
+            [jnp.asarray(cameras[i].full_proj_transform) for i in idx]),
+        campos=jnp.stack(
+            [jnp.asarray(cameras[i].camera_center) for i in idx]),
+        intrinsics=jnp.stack(
+            [jnp.asarray(cameras[i].intrinsics) for i in idx]),
+        world_to_cam=jnp.stack(
+            [jnp.asarray(cameras[i].extrinsics) for i in idx]),
+        valid=jnp.asarray(
+            [1.0] * n + [0.0] * (total - n), jnp.float32),
+    )
 
 
 def make_dp_render_fn(mesh: Mesh, settings: RasterizeSettings, render_fn):
@@ -84,6 +109,8 @@ def make_dp_fuse_fn(mesh: Mesh, settings: RasterizeSettings, render_fn):
             depth = out["rendered_median_depth"][0]
             opacity = out["rendered_final_opacity"][0]
             depth = jnp.where(opacity < 0.5, 0.0, depth)
+            if cam.valid is not None:
+                depth = depth * cam.valid  # pad views integrate nothing
             vol = tsdf.integrate(vol, depth, cam.intrinsics, cam.world_to_cam)
             return vol, None
 

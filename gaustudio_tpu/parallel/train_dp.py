@@ -141,6 +141,9 @@ def make_dp_train_step(mesh: Mesh, settings: RasterizeSettings, cfg: TrainConfig
             "loss": jax.lax.pmean(loss, "dp"),
             "psnr": jax.lax.pmean(ssim_ops.psnr(out["render"], local.gt_image), "dp"),
             "num_points": jax.lax.psum(jnp.sum(state.valid), "gs").astype(jnp.float32),
+            # entry-capacity watchdog input: worst view of the dp batch
+            "num_rendered": jax.lax.pmax(
+                out["num_rendered"].astype(jnp.float32), "dp"),
         }
         metrics = {k: jax.lax.pmean(v * 1.0, "gs") for k, v in metrics.items()}
 
@@ -155,6 +158,150 @@ def make_dp_train_step(mesh: Mesh, settings: RasterizeSettings, cfg: TrainConfig
         return new_state, metrics
 
     return jax.jit(step)
+
+
+def replicate_state(mesh: Mesh, state: GaussianTrainState) -> GaussianTrainState:
+    """Gather a gs-sharded state onto every device (one all-gather)."""
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
+class DPTrainer:
+    """Multi-device training loop: the full single-device schedule
+    (densify/clone/split/prune, opacity reset, SH warmup, capacity growth,
+    entry-overflow watchdog — pipelines/train.py Trainer.train) driven
+    through the sharded ("dp", "gs") train step.
+
+    The per-step compute stays sharded; the every-100-iters densification
+    runs on the REPLICATED state (gather -> densify_and_prune -> re-shard):
+    surgery is a host-frequency event and its sorts/nonzeros are far off the
+    step's hot path, so paying one all-gather per densify keeps the exact
+    single-device semantics (reference schedule: configs/vanilla.yaml:27-46,
+    assembled from vanilla_sg.py:42-44 + renderers/base.py:55-63).
+    """
+
+    def __init__(self, pcd, dataset, cfg: TrainConfig = TrainConfig(),
+                 mesh: Mesh = None, num_entries=None, chunk: int = 2048,
+                 seed: int = 0, capacity=None):
+        from gaustudio_tpu.parallel import make_mesh
+        from gaustudio_tpu.pipelines.train import Trainer
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_gs = self.mesh.shape["gs"]
+        # capacity must stay divisible by the gs axis for even row sharding
+        if capacity is not None:
+            capacity = -(-capacity // n_gs) * n_gs
+        self._inner = Trainer(pcd, dataset, cfg, num_entries=num_entries,
+                              chunk=chunk, seed=seed, capacity=capacity)
+        self.cfg = cfg
+        self.key = self._inner.key
+        self.extent = self._inner.extent
+        self.cameras = self._inner.cameras
+        self.num_entries = self._inner.num_entries
+        self.state = shard_state(self.mesh, self._inner.state)
+        self._inner.state = None  # single source of truth: self.state
+
+    def _grow_capacity(self, state_rep: GaussianTrainState):
+        """Double the padded gaussian capacity on the replicated state when
+        >85% full (Trainer.maybe_grow_capacity semantics, gs-divisible)."""
+        import numpy as np
+
+        valid = int(np.asarray(jnp.sum(state_rep.valid)))
+        cap = state_rep.valid.shape[0]
+        if valid <= 0.85 * cap:
+            return state_rep
+        new_cap = cap * 2
+
+        def grow(x, fill=0.0):
+            pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad, constant_values=fill)
+
+        s = state_rep
+        from gaustudio_tpu.pipelines.optimizers.general import AdamState
+
+        return GaussianTrainState(
+            params={k: grow(v) for k, v in s.params.items()},
+            valid=grow(s.valid, False),
+            opt=AdamState(
+                mu={k: grow(v) for k, v in s.opt.mu.items()},
+                nu={k: grow(v) for k, v in s.opt.nu.items()},
+                count={k: grow(v) for k, v in s.opt.count.items()},
+            ),
+            step=s.step,
+            xyz_grad_accum=grow(s.xyz_grad_accum),
+            denom=grow(s.denom),
+            max_radii2d=grow(s.max_radii2d),
+            active_sh_degree=s.active_sh_degree,
+        )
+
+    def train(self, iterations=None, log_every: int = 100, callback=None,
+              metrics_path=None, use_prefetch: bool = True):
+        import numpy as np
+
+        from gaustudio_tpu.ops import binning
+        from gaustudio_tpu.pipelines.dataloader import make_batch_source
+        from gaustudio_tpu.pipelines.train import (
+            densify_and_prune, oneup_sh_degree, reset_opacity,
+        )
+        from gaustudio_tpu.utils.observability import MetricsLogger
+
+        cfg = self.cfg
+        iters = iterations or cfg.iterations
+        n_dp = self.mesh.shape["dp"]
+        settings = self._inner._settings(self.num_entries)
+        step_fn = make_dp_train_step(self.mesh, settings, cfg)
+        logger = MetricsLogger(metrics_path, echo=False) if metrics_path else None
+        next_batch = make_batch_source(self.cameras, self._inner._batch,
+                                       use_prefetch=use_prefetch,
+                                       batch_size=n_dp)
+        history = []
+        start = int(np.asarray(self.state.step))
+        for it in range(start + 1, iters + 1):
+            batch = next_batch()
+            self.state, metrics = step_fn(self.state, batch)
+
+            if it % cfg.sh_increase_interval == 0:
+                self.state = oneup_sh_degree(self.state, cfg.max_sh_degree)
+
+            if cfg.densify_from_iter < it < cfg.densify_until_iter:
+                if it % cfg.densification_interval == 0:
+                    self.key, sub = jax.random.split(self.key)
+                    prune_big = jnp.asarray(it > cfg.opacity_reset_interval)
+                    rep = replicate_state(self.mesh, self.state)
+                    rep, dinfo = densify_and_prune(
+                        rep, sub, jnp.asarray(self.extent), cfg, prune_big)
+                    rep = self._grow_capacity(rep)
+                    self.state = shard_state(self.mesh, rep)
+                    self._last_densify = {
+                        k: float(np.asarray(v)) for k, v in dinfo.items()}
+                if it % cfg.opacity_reset_interval == 0:
+                    self.state = reset_opacity(self.state)
+
+            if it % log_every == 0 or it == iters:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m["iter"] = it
+                if getattr(self, "_last_densify", None):
+                    m.update(self._last_densify)
+                    self._last_densify = None
+                nr = int(m.get("num_rendered", 0))
+                m["entry_overflow"] = max(0, nr - self.num_entries)
+                if nr > 0.9 * self.num_entries:
+                    new_cap = binning.bucket_capacity(
+                        int(nr * 1.25), minimum=self.num_entries)
+                    if new_cap > self.num_entries:
+                        self.num_entries = new_cap
+                        settings = self._inner._settings(new_cap)
+                        step_fn = make_dp_train_step(self.mesh, settings, cfg)
+                history.append(m)
+                if logger:
+                    logger.log(it, **{k: v for k, v in m.items() if k != "iter"})
+                if not np.isfinite(m["loss"]):
+                    raise FloatingPointError(f"non-finite loss at iter {it}")
+                if callback:
+                    callback(m)
+        next_batch.close()
+        if logger:
+            logger.close()
+        return history
 
 
 def _state_specs():

@@ -81,7 +81,8 @@ class PrefetchLoader:
 
 def make_batch_source(cameras: List, make_batch: Callable,
                       use_prefetch: bool = True, seed: int = 0,
-                      cache_limit_bytes: int = 1 << 30):
+                      cache_limit_bytes: int = 1 << 30,
+                      batch_size: Optional[int] = None):
     """Per-step batch supplier shared by the trainers.
 
     Device-resident cache when the capture fits in ``cache_limit_bytes``
@@ -90,23 +91,43 @@ def make_batch_source(cameras: List, make_batch: Callable,
     conversion when ``use_prefetch`` is False (callers bounding device
     memory keep that guarantee — no implicit cache).
 
+    ``batch_size=None`` (single-device trainers) yields one unbatched
+    CameraBatch per call; an integer yields stacked leading-axis batches —
+    even for batch_size=1 — as the camera-DP step expects.
+
     Returns a zero-arg callable yielding the next batch; it carries a
     ``.close()`` for loader-thread shutdown.
     """
     rng = np.random.default_rng(seed)
     cam0 = cameras[0]
     total = len(cameras) * int(cam0.image_height) * int(cam0.image_width) * 12
+    bs = 1 if batch_size is None else batch_size
+
+    def stack(batches):
+        if batch_size is None:
+            return batches[0]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
     if use_prefetch and total <= cache_limit_bytes:
         cache = [make_batch(c) for c in cameras]
-        fn = lambda: cache[rng.integers(len(cache))]  # noqa: E731
+        fn = lambda: stack(  # noqa: E731
+            [cache[i] for i in rng.integers(len(cache), size=bs)])
         fn.close = lambda: None
         return fn
     if use_prefetch:
-        loader = PrefetchLoader(cameras, make_batch, prefetch=2, seed=seed)
-        fn = lambda: next(loader)  # noqa: E731
+        loader = PrefetchLoader(cameras, make_batch, prefetch=2, seed=seed,
+                                batch_size=bs)
+        if batch_size is None:
+            fn = lambda: next(loader)  # noqa: E731
+        else:
+            # PrefetchLoader only stacks for batch_size > 1; force the
+            # leading axis for a dp=1 mesh
+            fn = (lambda: next(loader)) if bs > 1 else (  # noqa: E731
+                lambda: jax.tree.map(lambda x: jnp.stack([x]), next(loader)))
         fn.close = loader.close
         return fn
-    fn = lambda: make_batch(cameras[rng.integers(len(cameras))])  # noqa: E731
+    fn = lambda: stack(  # noqa: E731
+        [make_batch(cameras[i])
+         for i in rng.integers(len(cameras), size=bs)])
     fn.close = lambda: None
     return fn

@@ -48,7 +48,18 @@ def write_cam_file(path: str, camera: Camera) -> None:
         f.write(f"{flen} 0 0 {paspect} {ppx} {ppy}\n")
 
 
-def iter_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
+def _save_view_files(work_dir, name, camera, inv_np, rgb_np):
+    """Host-side per-view output files (PNG encode + disk write) — runs on
+    a worker thread so the next view's render overlaps the file IO."""
+    rgb = np.where(inv_np[..., None], 0.0, rgb_np)
+    save_image(os.path.join(work_dir, "images", f"{name}.png"), rgb)
+    save_image(os.path.join(work_dir, "masks", f"{name}.png"),
+               (~inv_np).astype(np.float32))
+    write_cam_file(os.path.join(work_dir, "images", f"{name}.cam"), camera)
+
+
+def iter_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None,
+                      settings_overrides=None):
     """Yield per-view (camera, device depth map) with median depth masked by
     final opacity < 0.5 (extract_mesh.py:99-117), optionally saving
     renders/masks/.cam files.
@@ -57,26 +68,103 @@ def iter_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
     image buffers are only downloaded when ``work_dir`` asks for files —
     device->host transfers ride the relay on remote-attached TPUs and
     dominate the loop otherwise. Yielding (instead of returning a list)
-    keeps a single depth map live at a time."""
+    keeps a single depth map live at a time. File writes run on a worker
+    thread, overlapping the next view's device render."""
+    from concurrent.futures import ThreadPoolExecutor
+
     if work_dir is not None:
         os.makedirs(os.path.join(work_dir, "images"), exist_ok=True)
         os.makedirs(os.path.join(work_dir, "masks"), exist_ok=True)
-    for i, camera in enumerate(cameras):
-        out = renderer.render(camera, pcd)
-        opacity = out["rendered_final_opacity"][0]
-        depth = out["rendered_median_depth"][0]
-        invalid = opacity < 0.5
-        depth = jnp.where(invalid, 0.0, depth)
-        if work_dir is not None:
+    pool = ThreadPoolExecutor(max_workers=2) if work_dir is not None else None
+    pending = []
+    try:
+        for i, camera in enumerate(cameras):
+            out = renderer.render(camera, pcd,
+                                  settings_overrides=settings_overrides)
+            opacity = out["rendered_final_opacity"][0]
+            depth = out["rendered_median_depth"][0]
+            invalid = opacity < 0.5
+            depth = jnp.where(invalid, 0.0, depth)
+            if work_dir is not None:
+                inv_np = np.asarray(invalid)
+                rgb_np = np.moveaxis(np.asarray(out["render"]), 0, -1)
+                name = camera.image_name or f"view_{i:04d}"
+                pending.append(pool.submit(
+                    _save_view_files, work_dir, name, camera, inv_np, rgb_np))
+            yield camera, depth
+    finally:
+        if pool is not None:
+            for f in pending:
+                f.result()
+            pool.shutdown()
+
+
+def _fuse_views_dp(renderer, pcd, cameras: List[Camera], vol, work_dir,
+                   overrides):
+    """Camera-DP fusion over all visible devices (SURVEY.md §2.3): each
+    device renders a slice of the views. Without per-view files the whole
+    loop is one psum-fused render+integrate call (make_dp_fuse_fn); with
+    ``work_dir`` the views render dp-batched and the image buffers come
+    back for threaded host saves while the depths scan-integrate on
+    device 0."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    from gaustudio_tpu.parallel import render_dp
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(onp.asarray(devices), ("dp",))
+
+    # group by resolution: one jitted closure per (W, H)
+    groups = {}
+    for c in cameras:
+        groups.setdefault((int(c.image_width), int(c.image_height)),
+                          []).append(c)
+
+    if work_dir is not None:
+        os.makedirs(os.path.join(work_dir, "images"), exist_ok=True)
+        os.makedirs(os.path.join(work_dir, "masks"), exist_ok=True)
+
+    for (w, h), group in groups.items():
+        settings, render_fn = renderer.dp_render_closure(
+            group, pcd, settings_overrides=overrides)
+        if work_dir is None:
+            fuse = render_dp.make_dp_fuse_fn(mesh, settings, render_fn)
+            rc = render_dp.stack_cameras(group, pad_to=n_dev)
+            vol = fuse(vol, rc)
+            continue
+
+        render = render_dp.make_dp_render_fn(mesh, settings, render_fn)
+        pool = ThreadPoolExecutor(max_workers=4)
+        pending = []
+        view_idx = 0
+        for start in range(0, len(group), n_dev):
+            chunk = group[start:start + n_dev]
+            rc = render_dp.stack_cameras(chunk, pad_to=n_dev)
+            out = render(rc)
+            opacity = out["rendered_final_opacity"][:, 0]
+            depth = out["rendered_median_depth"][:, 0]
+            invalid = opacity < 0.5
+            depth = jnp.where(invalid, 0.0, depth)
+            depth = depth * rc.valid[:, None, None]
+            vol = tsdf.integrate_batch(vol, depth, rc.intrinsics,
+                                       rc.world_to_cam)
             inv_np = np.asarray(invalid)
-            rgb = np.moveaxis(np.asarray(out["render"]), 0, -1)
-            rgb = np.where(inv_np[..., None], 0.0, rgb)
-            name = camera.image_name or f"view_{i:04d}"
-            save_image(os.path.join(work_dir, "images", f"{name}.png"), rgb)
-            save_image(os.path.join(work_dir, "masks", f"{name}.png"),
-                       (~inv_np).astype(np.float32))
-            write_cam_file(os.path.join(work_dir, "images", f"{name}.cam"), camera)
-        yield camera, depth
+            rgb_np = np.moveaxis(np.asarray(out["render"]), 1, -1)
+            for j, camera in enumerate(chunk):
+                name = camera.image_name or f"view_{view_idx:04d}"
+                view_idx += 1
+                pending.append(pool.submit(
+                    _save_view_files, work_dir, name, camera, inv_np[j],
+                    rgb_np[j]))
+        for f in pending:
+            f.result()
+        pool.shutdown()
+    return vol
 
 
 def render_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None):
@@ -103,28 +191,40 @@ def extract_mesh(
     Returns (vertices, faces); writes fused_mesh.ply + per-view outputs when
     ``work_dir`` is given.
     """
+    import jax
+
     cams = [c.downsample_scale(downsample) for c in cameras[::stride]]
 
     # the fusion loop reads median depth + final opacity, never median-ID:
-    # drop the gid sort operand from every per-view render (the reference
-    # allmap id channel is an optional extension, surfel_renderer.py:112)
-    if hasattr(renderer, "config"):
-        renderer.config.setdefault("median_id", False)
+    # drop the gid sort operand per-call (a settings override, NOT a
+    # renderer.config mutation — the shared renderer object keeps its
+    # configured median-ID behavior for other callers); the reference
+    # allmap id channel is an optional extension, surfel_renderer.py:112
+    overrides = {"with_median_id": False}
 
     # volume bounds from the gaussian centers (the reference's VDB is
     # unbounded; we size a dense grid from the scene's robust bbox)
     lo, hi = tsdf.integrate_points_bounds(np.asarray(pcd.get_attribute("xyz")))
     vol = tsdf.volume_from_bounds(lo, hi, voxel_size, sdf_trunc, max_dim=max_dim)
 
-    # render + integrate per view so only ONE depth map is device-resident
-    # at a time (500 views at 1080p would otherwise hold ~4 GB of HBM)
-    for camera, depth in iter_fused_depths(renderer, pcd, cams, work_dir):
-        vol = tsdf.integrate(
-            vol,
-            depth,
-            jnp.asarray(camera.intrinsics),
-            jnp.asarray(camera.extrinsics),
-        )
+    n_dev = len(jax.devices())
+    use_dp = (n_dev > 1
+              and not getattr(renderer, "view_dependent_gaussians", False)
+              and hasattr(renderer, "dp_render_closure"))
+    if use_dp:
+        vol = _fuse_views_dp(renderer, pcd, cams, vol, work_dir, overrides)
+    else:
+        # render + integrate per view so only ONE depth map is
+        # device-resident at a time (500 views at 1080p would otherwise
+        # hold ~4 GB of HBM)
+        for camera, depth in iter_fused_depths(renderer, pcd, cams, work_dir,
+                                               settings_overrides=overrides):
+            vol = tsdf.integrate(
+                vol,
+                depth,
+                jnp.asarray(camera.intrinsics),
+                jnp.asarray(camera.extrinsics),
+            )
 
     verts, faces = mcubes.marching_tetrahedra(
         np.asarray(vol.tsdf),

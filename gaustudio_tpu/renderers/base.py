@@ -23,6 +23,10 @@ from gaustudio_tpu.ops.rasterize import RasterizeSettings
 
 class BaseRenderer:
     default_conf: Dict = {}
+    # True when get_gaussians_properties depends on the camera (scaffold's
+    # view-dependent neural decode): such renderers cannot hoist one
+    # property set over a camera-DP batch (parallel/render_dp.py)
+    view_dependent_gaussians = False
 
     def __init__(self, config=None):
         self.config = {**self.default_conf, **(config or {})}
@@ -130,8 +134,65 @@ class BaseRenderer:
                   settings.projmatrix, settings.campos, settings.bg,
                   settings.intrinsics)
 
-    def render(self, viewpoint_camera, gaussian_model, means2D_offset=None):
-        """Port of renderers/base.py:10-63."""
+    def dp_render_closure(self, cameras, gaussian_model,
+                          settings_overrides=None, probe_cams: int = 8):
+        """Build ``(settings, render_fn)`` for the camera-DP batch renderers
+        (parallel/render_dp.make_dp_render_fn / make_dp_fuse_fn).
+
+        Gaussian properties are hoisted ONCE (valid only when
+        ``view_dependent_gaussians`` is False); capacity is probed as the
+        max over up to ``probe_cams`` evenly-spaced views so no view in the
+        batch overflows. All cameras must share one resolution (callers
+        group by (W, H))."""
+        if self.view_dependent_gaussians:
+            raise ValueError(
+                f"{type(self).__name__} decodes gaussians per camera; "
+                "camera-DP property hoisting is unsupported")
+        cam0 = cameras[0]
+        (xyz, shs, colors_precomp, opacity, scales, rotations, cov3D_precomp) = (
+            self.get_gaussians_properties(cam0, gaussian_model)
+        )
+        probe = self.make_settings(cam0, gaussian_model, 4096)
+        idx = list(range(0, len(cameras),
+                         max(1, len(cameras) // max(1, probe_cams))))
+        cap = 0
+        for i in idx[:probe_cams]:
+            c = cameras[i]
+            p = probe._replace(
+                viewmatrix=jnp.asarray(c.world_view_transform),
+                projmatrix=jnp.asarray(c.full_proj_transform),
+                campos=jnp.asarray(c.camera_center),
+            )
+            cap = max(cap, rast.suggest_num_entries(
+                xyz, opacity, p, scales=scales, rotations=rotations,
+                cov3D_precomp=cov3D_precomp))
+        settings = probe._replace(num_entries=cap)
+        if settings_overrides:
+            settings = settings._replace(**settings_overrides)
+        active_deg = getattr(gaussian_model, "active_sh_degree", None)
+        active_key = (None if (active_deg is None or shs is None)
+                      else int(active_deg))
+        m2d = jnp.zeros((xyz.shape[0], 2), jnp.float32)
+
+        def render_fn(s):
+            return rast.rasterize(
+                xyz, opacity, s, shs=shs, colors_precomp=colors_precomp,
+                scales=scales, rotations=rotations,
+                cov3D_precomp=cov3D_precomp, means2D_offset=m2d,
+                active_sh_degree=active_key,
+            )
+
+        return settings, render_fn
+
+    def render(self, viewpoint_camera, gaussian_model, means2D_offset=None,
+               settings_overrides=None):
+        """Port of renderers/base.py:10-63.
+
+        ``settings_overrides`` applies per-call RasterizeSettings field
+        overrides (e.g. ``{"with_median_id": False}`` from mesh extraction)
+        without mutating the shared ``self.config`` — a second caller of the
+        same renderer object keeps its configured behavior.
+        """
         (xyz, shs, colors_precomp, opacity, scales, rotations, cov3D_precomp) = (
             self.get_gaussians_properties(viewpoint_camera, gaussian_model)
         )
@@ -141,6 +202,8 @@ class BaseRenderer:
             viewpoint_camera, xyz, opacity, scales, rotations, cov3D_precomp, probe
         )
         settings = probe._replace(num_entries=cap)
+        if settings_overrides:
+            settings = settings._replace(**settings_overrides)
 
         if means2D_offset is None:
             means2D_offset = jnp.zeros((xyz.shape[0], 2), jnp.float32)

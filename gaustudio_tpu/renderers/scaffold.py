@@ -19,6 +19,9 @@ from gaustudio_tpu.renderers.base import BaseRenderer
 
 @renderers.register("scaffold_renderer")
 class ScaffoldRenderer(BaseRenderer):
+    # the anchor decode (view direction + feature bank) is camera-dependent:
+    # properties cannot be hoisted over a camera-DP batch
+    view_dependent_gaussians = True
     default_conf = {
         "kernel_size": 0.0,
         "scaling_modifier": 1.0,

@@ -63,7 +63,54 @@ class SurfelRenderer(BaseRenderer):
             shs = gaussian_model.get_features
         return xyz, shs, colors_precomp, opacity, scales, rotations, None
 
-    def render(self, viewpoint_camera, gaussian_model, means2D_offset=None):
+    def dp_render_closure(self, cameras, gaussian_model,
+                          settings_overrides=None, probe_cams: int = 8):
+        """Camera-DP closure over the surfel rasterizer; adapts the raw
+        kernel output keys to the fuse contract (rendered_final_opacity /
+        rendered_median_depth, parallel/render_dp.make_dp_fuse_fn)."""
+        from gaustudio_tpu.ops import rasterize as rast
+
+        cam0 = cameras[0]
+        (xyz, shs, colors_precomp, opacity, scales, rotations, _) = (
+            self.get_gaussians_properties(cam0, gaussian_model)
+        )
+        probe = self.make_settings(cam0, gaussian_model, 4096)
+        scales3 = jnp.concatenate(
+            [scales, jnp.zeros_like(scales[:, :1]) + 1e-7], -1)
+        idx = list(range(0, len(cameras),
+                         max(1, len(cameras) // max(1, probe_cams))))
+        cap = 0
+        for i in idx[:probe_cams]:
+            c = cameras[i]
+            p = probe._replace(
+                viewmatrix=jnp.asarray(c.world_view_transform),
+                projmatrix=jnp.asarray(c.full_proj_transform),
+                campos=jnp.asarray(c.camera_center),
+            )
+            cap = max(cap, rast.suggest_num_entries(
+                xyz, opacity, p, scales=scales3, rotations=rotations))
+        settings = probe._replace(num_entries=cap)
+        if settings_overrides:
+            settings = settings._replace(**settings_overrides)
+        active_deg = (getattr(gaussian_model, "active_sh_degree", None)
+                      if shs is not None else None)
+        active_key = None if active_deg is None else int(active_deg)
+        m2d = jnp.zeros((xyz.shape[0], 2), jnp.float32)
+
+        def render_fn(s):
+            out = rasterize_surfel.rasterize_surfels(
+                xyz, opacity, s, scales=scales, rotations=rotations,
+                shs=shs, colors_precomp=colors_precomp, means2D_offset=m2d,
+                active_sh_degree=active_key,
+            )
+            out = dict(out)
+            out["rendered_final_opacity"] = out["rendered_alpha"]
+            return out
+
+        return settings, render_fn
+
+    def render(self, viewpoint_camera, gaussian_model, means2D_offset=None,
+               settings_overrides=None):
         (xyz, shs, colors_precomp, opacity, scales, rotations, _) = (
             self.get_gaussians_properties(viewpoint_camera, gaussian_model)
         )
@@ -74,6 +121,8 @@ class SurfelRenderer(BaseRenderer):
             viewpoint_camera, xyz, opacity, scales3, rotations, None, probe
         )
         settings = probe._replace(num_entries=cap)
+        if settings_overrides:
+            settings = settings._replace(**settings_overrides)
 
         if means2D_offset is None:
             means2D_offset = jnp.zeros((xyz.shape[0], 2), jnp.float32)

@@ -93,6 +93,56 @@ def test_dp_matches_single_device():
     )
 
 
+def test_dp_trainer_densify_matches_single():
+    """The DPTrainer's full schedule (densify/prune/opacity reset) on a
+    dp=1 x gs=8 mesh must track the single-device Trainer: same camera
+    stream, same densify events, same point growth."""
+    pcd, cams = _scene(size=32, n=64)
+    pcd2, _ = _scene(size=32, n=64)
+    pcd._f_dc = np.zeros_like(pcd._f_dc)
+    pcd2._f_dc = np.zeros_like(pcd2._f_dc)
+    cfg = TrainConfig(
+        densify_from_iter=0, densify_until_iter=100,
+        densification_interval=5, densify_grad_threshold=1e-6,
+        opacity_reset_interval=1000, iterations=12,
+    )
+
+    single = T.Trainer(pcd, cams, cfg, num_entries=1 << 13, chunk=512, seed=0)
+    hist_s = single.train(iterations=12, log_every=1, use_prefetch=True)
+
+    mesh = make_mesh(dp=1, gs=8)
+    dpt = train_dp.DPTrainer(pcd2, cams, cfg, mesh=mesh,
+                             num_entries=1 << 13, chunk=512, seed=0)
+    hist_d = dpt.train(iterations=12, log_every=1, use_prefetch=True)
+
+    pts_s = [m["num_points"] for m in hist_s]
+    pts_d = [m["num_points"] for m in hist_d]
+    assert pts_s == pts_d  # identical densify growth
+    assert pts_s[-1] > pts_s[0]  # densification actually fired
+    grown = [m.get("n_clone", 0) + m.get("n_split", 0) for m in hist_s]
+    assert any(g > 0 for g in grown)
+
+    final_s = np.asarray(single.state.params["xyz"])
+    final_d = np.asarray(train_dp.replicate_state(mesh, dpt.state).params["xyz"])
+    np.testing.assert_allclose(final_d, final_s, rtol=5e-3, atol=1e-5)
+
+
+def test_dp_trainer_multi_dp_converges():
+    """dp=4 x gs=2: batched-view loss decreases and densification runs."""
+    pcd, cams = _scene(size=32, n=64)
+    pcd._f_dc = np.zeros_like(pcd._f_dc)
+    cfg = TrainConfig(
+        densify_from_iter=0, densify_until_iter=100,
+        densification_interval=4, densify_grad_threshold=1e-6,
+        opacity_reset_interval=1000, iterations=8,
+    )
+    dpt = train_dp.DPTrainer(pcd, cams, cfg, mesh=make_mesh(dp=4, gs=2),
+                             num_entries=1 << 13, chunk=512)
+    hist = dpt.train(iterations=8, log_every=1)
+    assert np.isfinite([m["loss"] for m in hist]).all()
+    assert hist[-1]["num_points"] > hist[0]["num_points"]
+
+
 def test_dp_render_and_fuse():
     pcd, cams = _scene(size=32, n_cams=8)
     mesh = make_mesh(dp=8, gs=1)

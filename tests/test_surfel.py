@@ -222,6 +222,60 @@ def test_surfel_lean_mode_close_and_backward_raises():
 
 
 @pytest.mark.slow
+def test_surfel_lean_mode_strict_on_snapped_depths():
+    """The loose lean-vs-exact tolerances above exist ONLY to absorb
+    19-bit depth-key sort-order flips between near-equal depths.  Snapping
+    every center depth onto the quantized-key grid (zero low 13 mantissa
+    bits) makes the packed and exact sorts order identically, so the
+    TIGHT per-pixel tolerance must hold on ALL pixels — a sub-5% whole-
+    image regression can no longer hide in the flip allowance."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    n = 80
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    xyz[:, 2] += 2.5
+    # camera is R=I, T=(0,0,3): view depth = z + 3. Give every surfel a
+    # UNIQUE depth on the 19-bit key grid (top 19 f32 bits = 10 mantissa
+    # bits; quantum ~0.004 here), >= 2 quanta apart: the quantized-key
+    # sort then orders identically to the exact f32 sort with NO ties
+    # (equal snapped depths tie-break differently between the two stable
+    # sorts — measured: pure gid swaps at equal depth)
+    order = np.argsort(xyz[:, 2])
+    uniq = (5.0 + np.arange(n, dtype=np.float32) * (2.0 / 256.0))
+    uniq = np.frombuffer(
+        (uniq.view(np.uint32) & np.uint32(0xFFFFE000)).tobytes(), np.float32)
+    assert len(np.unique(uniq)) == n
+    xyz[order, 2] = uniq - 3.0
+    scales = np.abs(rng.normal(size=(n, 3)).astype(np.float32)) * 0.15 + 0.02
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    settings = _settings(_front_camera(64, 48))
+
+    def run(need_grads):
+        s = settings._replace(backend="pallas", num_entries=1 << 13,
+                              chunk=512, need_grads=need_grads)
+        return rasterize_surfel.rasterize_surfels(
+            jnp.asarray(xyz), jnp.asarray(opac), s,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+            colors_precomp=jnp.asarray(colors),
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        exact = run(True)
+        lean = run(False)
+    for k, tol in (("render", 4e-3), ("rendered_alpha", 4e-3),
+                   ("rendered_normal_view", 4e-3),
+                   # depth compounds the mid-quantum Dk2 key reconstruction
+                   # (half-quantum ~2e-3 at depth ~5) with the f16 slope
+                   # pair across overlapping surfels
+                   ("rendered_depth_sum", 3e-2)):
+        d = np.abs(np.asarray(lean[k]) - np.asarray(exact[k]))
+        assert d.max() < tol, f"{k}: max|err|={d.max():.5f} (strict)"
+
+
+@pytest.mark.slow
 def test_surfel_pallas_empty_and_saturated():
     """Edge cases for the Pallas surfel path: an empty scene (all culled)
     and a heavily saturated stack of opaque surfels."""

@@ -28,15 +28,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def cache_path(size, views):
-    return f"/tmp/atscale_capture_{size}_{views}.npz"
+def cache_path(size, views, rich=False):
+    tag = "_rich" if rich else ""
+    return f"/tmp/atscale_capture_{size}_{views}{tag}.npz"
 
 
-def load_capture(size, views):
+def load_capture(size, views, rich=False):
     """Return the cams (with .image set) for a cached capture, or None."""
     from tools.train_at_scale import orbit_rings
 
-    path = cache_path(size, views)
+    path = cache_path(size, views, rich)
     if not os.path.exists(path):
         return None
     data = np.load(path)
@@ -50,16 +51,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--rich", action="store_true")
     args = ap.parse_args()
 
     from tools.train_at_scale import scene_mesh_large, orbit_rings, render_gt
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     t0 = time.perf_counter()
-    verts, faces = scene_mesh_large()
+    if args.rich:
+        from tools.train_at_scale import color_fn_rich, scene_mesh_rich
+
+        verts, faces = scene_mesh_rich()
+        col_fn = color_fn_rich
+    else:
+        from tools.make_fixture import color_fn as col_fn
+
+        verts, faces = scene_mesh_large()
     cams = orbit_rings(args.size, args.views)
-    images = render_gt(verts, faces, cams)
-    path = cache_path(args.size, args.views)
+    images = render_gt(verts, faces, cams, col_fn=col_fn)
+    path = cache_path(args.size, args.views, args.rich)
     np.savez(path, size=args.size, views=args.views,
              **{f"img{i}": im for i, im in enumerate(images)})
     print(f"capture: {len(cams)} views {args.size}px -> {path} "

@@ -476,17 +476,29 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                         return a
                     return block_math(width, 0, get_blk, c, a)
 
-                carry = jax.lax.cond(
-                    rem <= BLOCK // 4,
-                    lambda args: leaf(BLOCK // 4, args),
-                    lambda args: jax.lax.cond(
+                if _LEAF_POLICY == 2:
+                    # no boundary specialization: full-width masked math
+                    carry = leaf(BLOCK, carry)
+                elif _LEAF_POLICY == 1:
+                    # single-level cond: half/full instances only
+                    carry = jax.lax.cond(
                         rem <= BLOCK // 2,
                         lambda a: leaf(BLOCK // 2, a),
                         lambda a: leaf(BLOCK, a),
-                        args,
-                    ),
-                    carry,
-                )
+                        carry,
+                    )
+                else:
+                    carry = jax.lax.cond(
+                        rem <= BLOCK // 4,
+                        lambda args: leaf(BLOCK // 4, args),
+                        lambda args: jax.lax.cond(
+                            rem <= BLOCK // 2,
+                            lambda a: leaf(BLOCK // 2, a),
+                            lambda a: leaf(BLOCK, a),
+                            args,
+                        ),
+                        carry,
+                    )
             return (c + 1,) + carry
 
         state = jax.lax.while_loop(cond, body, init)
@@ -559,6 +571,10 @@ if _NOROLL or _OUT8_PROBE:
 _INFER_OUT8 = __import__("os").environ.get("GS_INFER_OUT8", "1") == "1"
 # two-level prefix product with a narrow cross-group scan (A/B knob)
 _PFX2 = __import__("os").environ.get("GS_PFX2", "0") == "1"
+# boundary-block leaf policy: 0 = nested quarter/half/full conds (r3),
+# 1 = single half/full cond, 2 = always full-width masked math — isolates
+# the per-block lax.cond cost vs the wasted-row cost
+_LEAF_POLICY = int(__import__("os").environ.get("GS_LEAF", "0"))
 # cross-tile first-block prefetch depth (slots 2..2+max(2, depth+1))
 _PREF_DEPTH = int(__import__("os").environ.get("GS_PREF_DEPTH", "1"))
 _N_SLOTS = 2 + max(2, _PREF_DEPTH + 1)

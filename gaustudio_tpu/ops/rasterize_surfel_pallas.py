@@ -204,16 +204,17 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
             t2 = t2[:12] + (jnp.zeros((K,), jnp.float32), t2[12])
     elif SURFEL_PACK and num_tiles < (1 << 13):
         # PACKED SINGLE-SORT flat table (see module-top SURFEL_PACK note).
-        # Row layout ([16, K] int32, rows 12-15 zero pad):
+        # Row layout ([16, K] int32, remaining rows zero pad):
         #   0: (Mx'0, My'0)  1: (Mx'1, My'1)  2: (Mx'2, My'2)  f16 pairs,
         #   3: (Mw0, Mw1)    4: (Mw2, opacity)                 normalized
-        #   5: (Dk0, Dk1) f16 pair   6: Dk2 f32 bits (exact center depth)
+        #   5: (Dk0, Dk1) f16 pair of v/16   6: Dk2 f32 bits (center depth)
         #   7: rgb10 (10-bit fixed-point channels in [0, 4])
-        #   8: (n0, n1) f16  9: (n2, 0) f16  10: (cx', cy') tile-relative
-        #   11: gid f32 bits
+        #   NPACK:  8: packed 10-bit normal  9: gid f32 bits
+        #   else:   8: (n0, n1) f16  9: (n2, 0) f16  10: gid f32 bits
+        # (the 2D-filter center is NOT a row: cx = Mx'2/Mw2, cy = My'2/Mw2
+        # in-kernel)
         from gaustudio_tpu.ops.binning_fast import (
             _DEPTH_Q_SHIFT,
-            _DXY_CLAMP,
             _RGB10_SCALE,
             _pack2_f16,
         )
@@ -236,8 +237,6 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
             jnp.clip(v, 0.0, 4.0) * _RGB10_SCALE).astype(jnp.int32)
         rgb10 = (q10(expanded_t[13]) | (q10(expanded_t[14]) << 10)
                  | (q10(expanded_t[15]) << 20))
-        cxr = jnp.clip(expanded_t[19] - 16.0 * txf, -_DXY_CLAMP, _DXY_CLAMP)
-        cyr = jnp.clip(expanded_t[20] - 16.0 * tyf, -_DXY_CLAMP, _DXY_CLAMP)
         dkc = lambda v: jnp.clip(v, -_PK_CLAMP, _PK_CLAMP)
         # Dk2 == the center depth == the sort key's depth (preprocess
         # builds Dk = [tu_z, tv_z, depths]), so it does NOT ride the sort:
@@ -258,17 +257,20 @@ def bin_surfels_fast(pre, grid_x: int, grid_y: int, num_entries: int,
                        dkc(expanded_t[10]) / _PK_DK_SCALE),
             rgb10,
         )
+        # the 2D-filter center does NOT ride the sort: cx = Mx2/Mw2,
+        # cy = My2/Mw2 (the image of (0,0,1) under the packed tile-relative
+        # homography) is reconstructed in-kernel from columns already
+        # carried — one fewer sort operand (~1 ms at headline K)
         if SURFEL_NPACK:
             qn = lambda v: (jnp.round(jnp.clip(v, -1.0, 1.0) * 511.0)
                             .astype(jnp.int32) + 512)
             npack = (qn(expanded_t[16]) | (qn(expanded_t[17]) << 10)
                      | (qn(expanded_t[18]) << 20))
-            cols = cols + (npack, _pack2_f16(cxr, cyr))
+            cols = cols + (npack,)
         else:
             cols = cols + (
                 _pack2_f16(expanded_t[16], expanded_t[17]),
                 _pack2_f16(expanded_t[18], jnp.zeros_like(dep)),
-                _pack2_f16(cxr, cyr),
             )
         if carry_gid:
             cols = cols + (bc(expanded_t[22]),)
@@ -509,16 +511,17 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                     nr0 = dqn(npk & 1023)
                     nr1 = dqn((npk >> 10) & 1023)
                     nr2 = dqn((npk >> 20) & 1023)
-                    cx = _half_lo(blk[:, 9:10])
-                    cy = _half_hi(blk[:, 9:10])
-                    gid = bcf(blk[:, 10:11])
+                    gid = bcf(blk[:, 9:10])
                 else:
                     nr0 = _half_lo(blk[:, 8:9])
                     nr1 = _half_hi(blk[:, 8:9])
                     nr2 = _half_lo(blk[:, 9:10])
-                    cx = _half_lo(blk[:, 10:11])
-                    cy = _half_hi(blk[:, 10:11])
-                    gid = bcf(blk[:, 11:12])
+                    gid = bcf(blk[:, 10:11])
+                # 2D-filter center from the homography's (0,0,1) image —
+                # (rows, 1) column math, cheaper than a sort operand
+                rw2 = 1.0 / jnp.where(jnp.abs(mw[2]) < 1e-12, 1e-12, mw[2])
+                cx = mx[2] * rw2
+                cy = my[2] * rw2
                 vld = None
                 ex, ey = qx, qy
             else:
@@ -586,21 +589,23 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
 
             use3d = rho3d <= rho2d
             rho = jnp.minimum(rho3d, rho2d)
-            G = jnp.exp(-0.5 * rho)
-            alpha = jnp.minimum(_ALPHA_MAX, op * G)
             # 2D-branch depth = center depth (reference 2DGS semantics)
             depth = jnp.where(use3d, dk0 * u + dk1 * v + dk2, dk2)
-            dead = (depth <= NEAR_CULL_Z) | (alpha < _ALPHA_MIN)
+            # dead-entry masks folded INTO the exp argument (exp(-1e4) is
+            # exactly 0 in f32): behind-camera intersections, and either
+            # the run-count mask (flat runs contain only valid entries;
+            # rows past the count hold the NEXT tile's — packed ALIGNED
+            # blocks zero their padding and mask by count too) or the
+            # realign valid row
             if flat_mode or packed:
-                # flat runs contain only valid entries (culled ones sort
-                # after all real tiles); rows past the tile's count hold
-                # the NEXT tile's entries — mask by count, not by vld.
-                # Packed ALIGNED blocks zero their padding rows (opacity 0)
-                # and carry no valid row, so they mask by count too.
-                dead = dead | (c * BLOCK + row_off + sub >= count_ref[t])
+                invalid = c * BLOCK + row_off + sub >= count_ref[t]
             else:
-                dead = dead | (vld < 0.5)
-            alpha = jnp.where(dead, 0.0, alpha)
+                invalid = vld < 0.5
+            G = jnp.exp(jnp.where((depth <= NEAR_CULL_Z) | invalid,
+                                  -1e4, -0.5 * rho))
+            alpha = jnp.minimum(_ALPHA_MAX, op * G)
+            # sub-threshold contributions are skipped
+            alpha = jnp.where(alpha < _ALPHA_MIN, 0.0, alpha)
 
             # entry-axis inclusive prefix product of (1 - alpha)
             cum = 1.0 - alpha
@@ -633,32 +638,29 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
             n2 = n2 + jnp.sum(w * nr2, axis=0, keepdims=True)
             m2 = m2 + jnp.sum(w * depth * depth, axis=0, keepdims=True)
 
+            # end-of-block raw product = the LAST prefix row (monotone):
+            # a static (1, 256) slice instead of a tree min-reduction;
+            # must read the pre-update T
+            alive = alive * (T * cum[rows - 1:rows, :]
+                             >= _TERM_EPS).astype(jnp.float32)
             T = jnp.minimum(
                 T, jnp.min(jnp.where(applied, P_incl, jnp.inf), axis=0,
                            keepdims=True)
             )
-            alive = alive * (jnp.min(P_incl, axis=0, keepdims=True)
-                             >= _TERM_EPS).astype(jnp.float32)
 
             if with_median:
-                # median trio (0.5-crossing): skipped in training, whose
-                # loss never reads it (~1/4 of the per-block reductions)
-                cross = applied & (alpha > 0.0) & (P_excl > 0.5) & (P_incl < 0.5)
-                crossed = jnp.any(cross, axis=0, keepdims=True)
-                md = jnp.where(
-                    crossed,
-                    jnp.sum(jnp.where(cross, depth, 0.0), 0, keepdims=True), md
-                )
-                mwt = jnp.where(
-                    crossed,
-                    jnp.sum(jnp.where(cross, alpha * P_excl, 0.0), 0,
-                            keepdims=True),
-                    mwt,
-                )
-                mi = jnp.where(
-                    crossed,
-                    jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True), mi
-                )
+                # median trio (0.5-crossing): the crossing is UNIQUE over
+                # the whole walk (the applied P chain is monotone), so
+                # plain accumulation replaces the any-reduction +
+                # crossed-selects; alpha == 0 cannot cross (P_excl ==
+                # P_incl). Skipped in training, whose loss never reads it.
+                cross = applied & (P_excl > 0.5) & (P_incl < 0.5)
+                md = md + jnp.sum(jnp.where(cross, depth, 0.0), 0,
+                                  keepdims=True)
+                mwt = mwt + jnp.sum(jnp.where(cross, w, 0.0), 0,
+                                    keepdims=True)
+                mi = mi + jnp.sum(jnp.where(cross, gid, 0.0), 0,
+                                  keepdims=True)
 
             if with_nc:
                 # n_contrib feeds only the nc-trusting backward; inference

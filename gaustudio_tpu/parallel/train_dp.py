@@ -200,6 +200,22 @@ class DPTrainer:
         self.state = shard_state(self.mesh, self._inner.state)
         self._inner.state = None  # single source of truth: self.state
 
+    def host_state(self) -> GaussianTrainState:
+        """Replicated (gathered) view of the sharded state — for export."""
+        return replicate_state(self.mesh, self.state)
+
+    def restore(self, ckpt_path: str) -> None:
+        """Resume from a Trainer/DPTrainer checkpoint: load, re-probe the
+        entry capacity for the restored cloud, re-shard."""
+        from gaustudio_tpu.pipelines.train import load_checkpoint
+
+        st = load_checkpoint(ckpt_path)
+        self._inner.state = st
+        self.num_entries = max(self.num_entries,
+                               self._inner.reprobe_capacity())
+        self._inner.state = None
+        self.state = shard_state(self.mesh, st)
+
     def _grow_capacity(self, state_rep: GaussianTrainState):
         """Double the padded gaussian capacity on the replicated state when
         >85% full (Trainer.maybe_grow_capacity semantics, gs-divisible)."""
@@ -234,13 +250,17 @@ class DPTrainer:
         )
 
     def train(self, iterations=None, log_every: int = 100, callback=None,
-              metrics_path=None, use_prefetch: bool = True):
+              metrics_path=None, use_prefetch: bool = True,
+              checkpoint_dir=None, checkpoint_every: int = 0):
+        import os
+
         import numpy as np
 
         from gaustudio_tpu.ops import binning
         from gaustudio_tpu.pipelines.dataloader import make_batch_source
         from gaustudio_tpu.pipelines.train import (
             densify_and_prune, oneup_sh_degree, reset_opacity,
+            save_checkpoint,
         )
         from gaustudio_tpu.utils.observability import MetricsLogger
 
@@ -298,6 +318,9 @@ class DPTrainer:
                     raise FloatingPointError(f"non-finite loss at iter {it}")
                 if callback:
                     callback(m)
+            if checkpoint_dir and checkpoint_every and it % checkpoint_every == 0:
+                save_checkpoint(os.path.join(checkpoint_dir, f"step_{it}"),
+                                self.state)
         next_batch.close()
         if logger:
             logger.close()

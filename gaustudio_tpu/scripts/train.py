@@ -29,6 +29,13 @@ def main():
     parser.add_argument("--resume", default=None,
                         help="orbax checkpoint dir (output_dir/ckpt/step_N) "
                              "to restore full training state from (vanilla)")
+    parser.add_argument("--no_dp", action="store_true",
+                        help="force single-device training even when "
+                             "multiple chips are visible")
+    parser.add_argument("--gs_shards", default=None, type=int,
+                        help="gaussian-axis shard count for multi-device "
+                             "training (default: 2 when device count is "
+                             "even, else 1)")
     parser.add_argument("--checkpoint_every", default=0, type=int,
                         help="save a full orbax training checkpoint "
                              "(params + Adam moments + step) every N iters")
@@ -152,7 +159,24 @@ def main():
         )
         trainer = TS.SurfelTrainer(pcd, dataset, scfg, seed=args.seed)
     else:
-        trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev > 1 and not args.no_dp:
+            # multi-chip flagship path: camera-DP x gaussian-axis sharded
+            # step with the full densify schedule (parallel/train_dp.py)
+            from gaustudio_tpu.parallel import make_mesh
+            from gaustudio_tpu.parallel.train_dp import DPTrainer
+
+            gs_ax = 2 if n_dev % 2 == 0 and args.gs_shards is None else (
+                args.gs_shards or 1)
+            if n_dev % gs_ax != 0:
+                gs_ax = 1
+            mesh = make_mesh(dp=n_dev // gs_ax, gs=gs_ax)
+            trainer = DPTrainer(pcd, dataset, cfg, mesh=mesh, seed=args.seed)
+            print(f"Multi-device training: dp={n_dev // gs_ax} x gs={gs_ax}")
+        else:
+            trainer = T.Trainer(pcd, dataset, cfg, seed=args.seed)
     if args.resume:
         # full-state resume (params + Adam moments + densify stats + step)
         # — beyond the reference's ply-only `resume_path`; applies to both
@@ -169,7 +193,9 @@ def main():
     def save(iteration):
         out = os.path.join(args.output_dir, "point_cloud", f"iteration_{iteration}")
         os.makedirs(out, exist_ok=True)
-        T.state_to_model(trainer.state, pcd)
+        st = (trainer.host_state() if hasattr(trainer, "host_state")
+              else trainer.state)
+        T.state_to_model(st, pcd)
         pcd.export(os.path.join(out, "point_cloud.ply"))
         dataset.export(os.path.join(args.output_dir, "cameras.json"))
 

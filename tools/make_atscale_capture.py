@@ -68,7 +68,8 @@ def main():
 
         verts, faces = scene_mesh_large()
     cams = orbit_rings(args.size, args.views)
-    images = render_gt(verts, faces, cams, col_fn=col_fn)
+    images = render_gt(verts, faces, cams, col_fn=col_fn,
+                       per_pixel=args.rich)
     path = cache_path(args.size, args.views, args.rich)
     np.savez(path, size=args.size, views=args.views,
              **{f"img{i}": im for i, im in enumerate(images)})

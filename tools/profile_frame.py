@@ -164,25 +164,33 @@ def main():
 
     @jax.jit
     def sub_sort_inf(expanded_t):
+        # mirrors the r4+ packed inference sort (binning_fast pack_key1):
+        # ONE fused uint32 (tile | depth19) key + 4 packed payloads + gid
         tile = expanded_t[13].astype(jnp.int32)
         tyf = jnp.floor(expanded_t[13] / jnp.float32(grid_x))
         txf = expanded_t[13] - tyf * grid_x
         dx = expanded_t[0] - 16.0 * txf
         dy = expanded_t[1] - 16.0 * tyf
+        q10 = lambda v: jnp.round(
+            jnp.clip(v, 0.0, 4.0) * binning_fast._RGB10_SCALE
+        ).astype(jnp.int32)
+        rgb10 = (q10(expanded_t[6]) | (q10(expanded_t[7]) << 10)
+                 | (q10(expanded_t[8]) << 20))
         cols = (
             binning_fast._pack2_f16(dx, dy),
             binning_fast._pack2_f16(expanded_t[2] * 16384.0,
                                     expanded_t[3] * 16384.0),
-            expanded_t[4],
-            binning_fast._pack2_f16(expanded_t[6], expanded_t[7]),
-            binning_fast._pack2_f16(expanded_t[8], expanded_t[5]),
+            binning_fast._pack2_f16(expanded_t[4] * 16384.0, expanded_t[5]),
+            rgb10,
             expanded_t[10],
         )
-        return jax.lax.sort((tile, expanded_t[9]) + cols, num_keys=2,
-                            is_stable=False)
+        dbits = jax.lax.bitcast_convert_type(expanded_t[9], jnp.uint32)
+        key = (tile.astype(jnp.uint32) << 19) | (
+            (dbits >> binning_fast._DEPTH_Q_SHIFT) & jnp.uint32(0x7FFFF))
+        return jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
 
     ms, _ = timeit(sub_sort_inf, expanded_t)
-    print(f"  tile sort (inference, 8 ops @ {K}): {ms:.2f} ms", flush=True)
+    print(f"  tile sort (inference, 6 ops @ {K}): {ms:.2f} ms", flush=True)
 
     @jax.jit
     def sub_stack(sorted_ops):

@@ -83,7 +83,7 @@ def color_fn_rich(p):
         np.cos(4.0 * p[:, 2] + 0.7),
     ], axis=1)
     for freq, amp, phase in ((11.0, 0.16, 0.0), (23.0, 0.10, 1.1),
-                             (47.0, 0.07, 2.3)):
+                             (47.0, 0.07, 2.3), (101.0, 0.05, 0.6)):
         c = c + amp * np.stack([
             np.sin(freq * p[:, 0] + 2.1 * np.sin(freq * 0.37 * p[:, 2]) + phase),
             np.sin(freq * p[:, 1] + 2.1 * np.sin(freq * 0.41 * p[:, 0]) + phase),
@@ -138,7 +138,7 @@ def orbit_rings(size, views):
     return cams
 
 
-def render_gt(verts, faces, cams, col_fn=color_fn):
+def render_gt(verts, faces, cams, col_fn=color_fn, per_pixel=False):
     from functools import partial
 
     import jax
@@ -164,12 +164,35 @@ def render_gt(verts, faces, cams, col_fn=color_fn):
         shade = jnp.where(frag.mask, lm[jnp.maximum(frag.tri_id, 0)], 0.0)
         return jnp.clip(col * shade[..., None], 0, 1)
 
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _view_pos(W, H, v, f, lm, wvt, fpt):
+        # per-PIXEL texturing support: interpolate the 3D surface position;
+        # the procedural color field is evaluated on the host at every
+        # pixel. Vertex-color interpolation low-passes any texture beyond
+        # the tessellation scale (the first r5 rich run stalled at 9k
+        # points because the capture was effectively smooth); per-pixel
+        # evaluation makes detail resolution-limited instead.
+        frag = MR.rasterize_mesh(v, f, wvt, fpt, W, H,
+                                 num_entries=cap, chunk=2048)
+        pos = MR.interpolate_attribute(frag, f, v)
+        shade = jnp.where(frag.mask, lm[jnp.maximum(frag.tri_id, 0)], 0.0)
+        return pos, shade
+
     images = []
     for cam in cams:
-        img = _view(int(cam.image_width), int(cam.image_height),
-                    jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(vcol),
-                    jnp.asarray(lam), jnp.asarray(cam.world_view_transform),
-                    jnp.asarray(cam.full_proj_transform))
+        W, H = int(cam.image_width), int(cam.image_height)
+        if per_pixel:
+            pos, shade = _view_pos(W, H, jnp.asarray(verts),
+                                   jnp.asarray(faces), jnp.asarray(lam),
+                                   jnp.asarray(cam.world_view_transform),
+                                   jnp.asarray(cam.full_proj_transform))
+            col = col_fn(np.asarray(pos).reshape(-1, 3)).reshape(H, W, 3)
+            img = np.clip(col * np.asarray(shade)[..., None], 0, 1)
+        else:
+            img = _view(W, H, jnp.asarray(verts), jnp.asarray(faces),
+                        jnp.asarray(vcol), jnp.asarray(lam),
+                        jnp.asarray(cam.world_view_transform),
+                        jnp.asarray(cam.full_proj_transform))
         images.append(np.asarray(img).astype(np.float32))
     return images
 
@@ -212,7 +235,8 @@ def main():
         cams = load_capture(args.size, args.views, rich=True)
     if cams is None:
         cams = orbit_rings(args.size, args.views)
-        images = render_gt(verts, faces, cams, col_fn=col_fn)
+        images = render_gt(verts, faces, cams, col_fn=col_fn,
+                           per_pixel=args.rich)
         for cam, img in zip(cams, images):
             cam.image = img
     print(f"capture: {len(cams)} views {args.size}px, mesh "

@@ -47,7 +47,7 @@ _MEDIAN_DEFAULT = 15.0
 # padded up for DMA-friendly sublane tiling. 16 was the historical default;
 # 9 cuts the [T, NUM_OUT, 256] write traffic ~44% (A/B via GS_NUM_OUT).
 NUM_OUT = int(__import__("os").environ.get("GS_NUM_OUT", "16"))
-if NUM_OUT < 9 or NUM_OUT % 8 not in (0, 1):
+if NUM_OUT < 9 or (NUM_OUT != 9 and NUM_OUT % 8 != 0):
     # r4 sweep: a 9-row (non-8-multiple sublane) output block stalled the
     # Mosaic compile >17 min; values < 9 drop live state rows entirely
     # (inference with with_nc=False auto-selects an 8-row block — that path
@@ -393,8 +393,13 @@ def _composite_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 # applied P chain is monotone), so plain accumulation
                 # replaces the any-reduction + crossed-selects; the
                 # "never crossed" default is applied once at the store
-                cross = applied & (P_excl > 0.5) & (P_incl < 0.5)
-                # alpha == 0 cannot cross (P_excl == P_incl); no extra mask
+                # the alpha > 0 term is NOT redundant: for dead rows the
+                # prefix tree associates cum_i and exc_i differently (see
+                # the w note above), so when the chain straddles 0.5
+                # within a ulp a dead row could read P_excl > 0.5 >
+                # P_incl and double-accumulate the trio
+                cross = (applied & (alpha > 0.0)
+                         & (P_excl > 0.5) & (P_incl < 0.5))
                 md = md + jnp.sum(jnp.where(cross, dep, 0.0), 0, keepdims=True)
                 mw = mw + jnp.sum(jnp.where(cross, w, 0.0), 0, keepdims=True)
                 mi = mi + jnp.sum(jnp.where(cross, gid, 0.0), 0, keepdims=True)

@@ -652,9 +652,13 @@ def _surfel_kernel(ablock_ref, count_ref, blocks_hbm, out_ref, scratch, sems,
                 # median trio (0.5-crossing): the crossing is UNIQUE over
                 # the whole walk (the applied P chain is monotone), so
                 # plain accumulation replaces the any-reduction +
-                # crossed-selects; alpha == 0 cannot cross (P_excl ==
-                # P_incl). Skipped in training, whose loss never reads it.
-                cross = applied & (P_excl > 0.5) & (P_incl < 0.5)
+                # crossed-selects. The alpha > 0 term is NOT redundant:
+                # dead rows' P_excl/P_incl associate differently in the
+                # prefix tree (+-1 ulp), so a chain straddling 0.5 within
+                # a ulp could double-fire on a dead row.
+                # Skipped in training, whose loss never reads it.
+                cross = (applied & (alpha > 0.0)
+                         & (P_excl > 0.5) & (P_incl < 0.5))
                 md = md + jnp.sum(jnp.where(cross, depth, 0.0), 0,
                                   keepdims=True)
                 mwt = mwt + jnp.sum(jnp.where(cross, w, 0.0), 0,

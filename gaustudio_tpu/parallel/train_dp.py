@@ -197,8 +197,20 @@ class DPTrainer:
         self.extent = self._inner.extent
         self.cameras = self._inner.cameras
         self.num_entries = self._inner.num_entries
-        self.state = shard_state(self.mesh, self._inner.state)
+        # the default capacity (Trainer's power-of-two bucket) need not
+        # divide a non-power-of-two gs axis — pad before sharding
+        self.state = shard_state(self.mesh,
+                                 self._gs_pad(self._inner.state))
         self._inner.state = None  # single source of truth: self.state
+
+    def _gs_pad(self, state: GaussianTrainState) -> GaussianTrainState:
+        """Round the padded capacity up to a gs-axis multiple (shard_map
+        requires evenly divisible row shards)."""
+        from gaustudio_tpu.pipelines.train import grow_state
+
+        n_gs = self.mesh.shape["gs"]
+        cap = state.valid.shape[0]
+        return grow_state(state, -(-cap // n_gs) * n_gs)
 
     def host_state(self) -> GaussianTrainState:
         """Replicated (gathered) view of the sharded state — for export."""
@@ -214,40 +226,21 @@ class DPTrainer:
         self.num_entries = max(self.num_entries,
                                self._inner.reprobe_capacity())
         self._inner.state = None
-        self.state = shard_state(self.mesh, st)
+        self.state = shard_state(self.mesh, self._gs_pad(st))
 
     def _grow_capacity(self, state_rep: GaussianTrainState):
         """Double the padded gaussian capacity on the replicated state when
         >85% full (Trainer.maybe_grow_capacity semantics, gs-divisible)."""
         import numpy as np
 
+        from gaustudio_tpu.pipelines.train import grow_state
+
         valid = int(np.asarray(jnp.sum(state_rep.valid)))
         cap = state_rep.valid.shape[0]
         if valid <= 0.85 * cap:
             return state_rep
-        new_cap = cap * 2
-
-        def grow(x, fill=0.0):
-            pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, pad, constant_values=fill)
-
-        s = state_rep
-        from gaustudio_tpu.pipelines.optimizers.general import AdamState
-
-        return GaussianTrainState(
-            params={k: grow(v) for k, v in s.params.items()},
-            valid=grow(s.valid, False),
-            opt=AdamState(
-                mu={k: grow(v) for k, v in s.opt.mu.items()},
-                nu={k: grow(v) for k, v in s.opt.nu.items()},
-                count={k: grow(v) for k, v in s.opt.count.items()},
-            ),
-            step=s.step,
-            xyz_grad_accum=grow(s.xyz_grad_accum),
-            denom=grow(s.denom),
-            max_radii2d=grow(s.max_radii2d),
-            active_sh_degree=s.active_sh_degree,
-        )
+        n_gs = self.mesh.shape["gs"]
+        return grow_state(state_rep, -(-(cap * 2) // n_gs) * n_gs)
 
     def train(self, iterations=None, log_every: int = 100, callback=None,
               metrics_path=None, use_prefetch: bool = True,
@@ -315,6 +308,18 @@ class DPTrainer:
                 if logger:
                     logger.log(it, **{k: v for k, v in m.items() if k != "iter"})
                 if not np.isfinite(m["loss"]):
+                    # same failure-detection contract as the single-device
+                    # Trainer: dump a repro snapshot before dying
+                    from gaustudio_tpu.utils.observability import (
+                        snapshot_on_nonfinite,
+                    )
+
+                    snapshot_on_nonfinite(
+                        {"params": self.host_state().params,
+                         "loss": metrics["loss"]},
+                        (metrics_path or "train_dp") + ".snapshot.pkl",
+                        context=f"iter {it}",
+                    )
                     raise FloatingPointError(f"non-finite loss at iter {it}")
                 if callback:
                     callback(m)

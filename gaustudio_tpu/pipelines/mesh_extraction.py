@@ -89,6 +89,11 @@ def iter_fused_depths(renderer, pcd, cameras: List[Camera], work_dir=None,
                 inv_np = np.asarray(invalid)
                 rgb_np = np.moveaxis(np.asarray(out["render"]), 0, -1)
                 name = camera.image_name or f"view_{i:04d}"
+                # bounded queue: without backpressure a capture where PNG
+                # encode is slower than the render accumulates every
+                # view's full-res float buffers (~25 MB/view at 1080p)
+                if len(pending) >= 8:
+                    pending.pop(0).result()
                 pending.append(pool.submit(
                     _save_view_files, work_dir, name, camera, inv_np, rgb_np))
             yield camera, depth
@@ -119,17 +124,21 @@ def _fuse_views_dp(renderer, pcd, cameras: List[Camera], vol, work_dir,
     n_dev = len(devices)
     mesh = Mesh(onp.asarray(devices), ("dp",))
 
-    # group by resolution: one jitted closure per (W, H)
+    # group by resolution AND FoV: one jitted closure per group, whose
+    # static settings (incl. tanfovx/tanfovy — the DP render only swaps
+    # view/proj/campos per view) must hold for every camera in it
     groups = {}
-    for c in cameras:
-        groups.setdefault((int(c.image_width), int(c.image_height)),
-                          []).append(c)
+    for gi, c in enumerate(cameras):
+        key = (int(c.image_width), int(c.image_height),
+               float(c.FoVx), float(c.FoVy))
+        groups.setdefault(key, []).append((gi, c))
 
     if work_dir is not None:
         os.makedirs(os.path.join(work_dir, "images"), exist_ok=True)
         os.makedirs(os.path.join(work_dir, "masks"), exist_ok=True)
 
-    for (w, h), group in groups.items():
+    for key, indexed in groups.items():
+        group = [c for _, c in indexed]
         settings, render_fn = renderer.dp_render_closure(
             group, pcd, settings_overrides=overrides)
         if work_dir is None:
@@ -141,10 +150,9 @@ def _fuse_views_dp(renderer, pcd, cameras: List[Camera], vol, work_dir,
         render = render_dp.make_dp_render_fn(mesh, settings, render_fn)
         pool = ThreadPoolExecutor(max_workers=4)
         pending = []
-        view_idx = 0
-        for start in range(0, len(group), n_dev):
-            chunk = group[start:start + n_dev]
-            rc = render_dp.stack_cameras(chunk, pad_to=n_dev)
+        for start in range(0, len(indexed), n_dev):
+            chunk = indexed[start:start + n_dev]
+            rc = render_dp.stack_cameras([c for _, c in chunk], pad_to=n_dev)
             out = render(rc)
             opacity = out["rendered_final_opacity"][:, 0]
             depth = out["rendered_median_depth"][:, 0]
@@ -155,9 +163,12 @@ def _fuse_views_dp(renderer, pcd, cameras: List[Camera], vol, work_dir,
                                        rc.world_to_cam)
             inv_np = np.asarray(invalid)
             rgb_np = np.moveaxis(np.asarray(out["render"]), 1, -1)
-            for j, camera in enumerate(chunk):
-                name = camera.image_name or f"view_{view_idx:04d}"
-                view_idx += 1
+            for j, (gi, camera) in enumerate(chunk):
+                # global camera index: per-group numbering would collide
+                # across resolution/FoV groups and overwrite files
+                name = camera.image_name or f"view_{gi:04d}"
+                if len(pending) >= 8:
+                    pending.pop(0).result()
                 pending.append(pool.submit(
                     _save_view_files, work_dir, name, camera, inv_np[j],
                     rgb_np[j]))

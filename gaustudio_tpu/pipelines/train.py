@@ -416,6 +416,36 @@ def oneup_sh_degree(state: GaussianTrainState, max_degree: int = 3):
     )
 
 
+def grow_state(state: GaussianTrainState, new_cap: int) -> GaussianTrainState:
+    """Pad every per-gaussian row array to ``new_cap`` rows (invalid rows /
+    zero fill). The ONE place that knows the full per-row field list —
+    shared by the single-device and DP capacity growers and by the DP
+    gs-divisibility pad, so adding a field cannot silently drop it on one
+    path."""
+    cap = state.valid.shape[0]
+    if new_cap <= cap:
+        return state
+
+    def grow(x, fill=0.0):
+        pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    return GaussianTrainState(
+        params={k: grow(v) for k, v in state.params.items()},
+        valid=grow(state.valid, False),
+        opt=AdamState(
+            mu={k: grow(v) for k, v in state.opt.mu.items()},
+            nu={k: grow(v) for k, v in state.opt.nu.items()},
+            count={k: grow(v) for k, v in state.opt.count.items()},
+        ),
+        step=state.step,
+        xyz_grad_accum=grow(state.xyz_grad_accum),
+        denom=grow(state.denom),
+        max_radii2d=grow(state.max_radii2d),
+        active_sh_degree=state.active_sh_degree,
+    )
+
+
 class Trainer:
     """Host-side loop: camera sampling, capacity growth, schedules, logging."""
 
@@ -497,27 +527,7 @@ class Trainer:
         valid = int(np.asarray(self.state.num_points))
         cap = self.state.valid.shape[0]
         if valid > 0.85 * cap:
-            new_cap = cap * 2
-
-            def grow(x, fill=0.0):
-                pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
-                return jnp.pad(x, pad, constant_values=fill)
-
-            s = self.state
-            self.state = GaussianTrainState(
-                params={k: grow(v) for k, v in s.params.items()},
-                valid=grow(s.valid, False),
-                opt=AdamState(
-                    mu={k: grow(v) for k, v in s.opt.mu.items()},
-                    nu={k: grow(v) for k, v in s.opt.nu.items()},
-                    count={k: grow(v) for k, v in s.opt.count.items()},
-                ),
-                step=s.step,
-                xyz_grad_accum=grow(s.xyz_grad_accum),
-                denom=grow(s.denom),
-                max_radii2d=grow(s.max_radii2d),
-                active_sh_degree=s.active_sh_degree,
-            )
+            self.state = grow_state(self.state, cap * 2)
 
     def train(self, iterations: Optional[int] = None, log_every: int = 100,
               callback=None, metrics_path: Optional[str] = None,

@@ -134,25 +134,15 @@ class BaseRenderer:
                   settings.projmatrix, settings.campos, settings.bg,
                   settings.intrinsics)
 
-    def dp_render_closure(self, cameras, gaussian_model,
-                          settings_overrides=None, probe_cams: int = 8):
-        """Build ``(settings, render_fn)`` for the camera-DP batch renderers
-        (parallel/render_dp.make_dp_render_fn / make_dp_fuse_fn).
-
-        Gaussian properties are hoisted ONCE (valid only when
-        ``view_dependent_gaussians`` is False); capacity is probed as the
-        max over up to ``probe_cams`` evenly-spaced views so no view in the
-        batch overflows. All cameras must share one resolution (callers
-        group by (W, H))."""
-        if self.view_dependent_gaussians:
-            raise ValueError(
-                f"{type(self).__name__} decodes gaussians per camera; "
-                "camera-DP property hoisting is unsupported")
-        cam0 = cameras[0]
-        (xyz, shs, colors_precomp, opacity, scales, rotations, cov3D_precomp) = (
-            self.get_gaussians_properties(cam0, gaussian_model)
-        )
-        probe = self.make_settings(cam0, gaussian_model, 4096)
+    def _dp_probe_settings(self, cameras, gaussian_model, settings_overrides,
+                           probe_cams, xyz, opacity, scales, rotations,
+                           cov3D_precomp):
+        """Shared camera-DP settings builder: intersection capacity = max
+        over up to ``probe_cams`` evenly-spaced views (so no view in the
+        batch overflows); per-call ``settings_overrides`` applied last.
+        One implementation for every renderer's dp closure — the probe
+        logic must not fork between the vanilla and surfel paths."""
+        probe = self.make_settings(cameras[0], gaussian_model, 4096)
         idx = list(range(0, len(cameras),
                          max(1, len(cameras) // max(1, probe_cams))))
         cap = 0
@@ -169,6 +159,28 @@ class BaseRenderer:
         settings = probe._replace(num_entries=cap)
         if settings_overrides:
             settings = settings._replace(**settings_overrides)
+        return settings
+
+    def dp_render_closure(self, cameras, gaussian_model,
+                          settings_overrides=None, probe_cams: int = 8):
+        """Build ``(settings, render_fn)`` for the camera-DP batch renderers
+        (parallel/render_dp.make_dp_render_fn / make_dp_fuse_fn).
+
+        Gaussian properties are hoisted ONCE (valid only when
+        ``view_dependent_gaussians`` is False); capacity is probed as the
+        max over up to ``probe_cams`` evenly-spaced views so no view in the
+        batch overflows. All cameras must share one resolution and FoV
+        (callers group by (W, H, FoVx, FoVy))."""
+        if self.view_dependent_gaussians:
+            raise ValueError(
+                f"{type(self).__name__} decodes gaussians per camera; "
+                "camera-DP property hoisting is unsupported")
+        (xyz, shs, colors_precomp, opacity, scales, rotations, cov3D_precomp) = (
+            self.get_gaussians_properties(cameras[0], gaussian_model)
+        )
+        settings = self._dp_probe_settings(
+            cameras, gaussian_model, settings_overrides, probe_cams,
+            xyz, opacity, scales, rotations, cov3D_precomp)
         active_deg = getattr(gaussian_model, "active_sh_degree", None)
         active_key = (None if (active_deg is None or shs is None)
                       else int(active_deg))

@@ -68,30 +68,15 @@ class SurfelRenderer(BaseRenderer):
         """Camera-DP closure over the surfel rasterizer; adapts the raw
         kernel output keys to the fuse contract (rendered_final_opacity /
         rendered_median_depth, parallel/render_dp.make_dp_fuse_fn)."""
-        from gaustudio_tpu.ops import rasterize as rast
-
-        cam0 = cameras[0]
         (xyz, shs, colors_precomp, opacity, scales, rotations, _) = (
-            self.get_gaussians_properties(cam0, gaussian_model)
+            self.get_gaussians_properties(cameras[0], gaussian_model)
         )
-        probe = self.make_settings(cam0, gaussian_model, 4096)
+        # probe capacity with padded 3D scales (flat z)
         scales3 = jnp.concatenate(
             [scales, jnp.zeros_like(scales[:, :1]) + 1e-7], -1)
-        idx = list(range(0, len(cameras),
-                         max(1, len(cameras) // max(1, probe_cams))))
-        cap = 0
-        for i in idx[:probe_cams]:
-            c = cameras[i]
-            p = probe._replace(
-                viewmatrix=jnp.asarray(c.world_view_transform),
-                projmatrix=jnp.asarray(c.full_proj_transform),
-                campos=jnp.asarray(c.camera_center),
-            )
-            cap = max(cap, rast.suggest_num_entries(
-                xyz, opacity, p, scales=scales3, rotations=rotations))
-        settings = probe._replace(num_entries=cap)
-        if settings_overrides:
-            settings = settings._replace(**settings_overrides)
+        settings = self._dp_probe_settings(
+            cameras, gaussian_model, settings_overrides, probe_cams,
+            xyz, opacity, scales3, rotations, None)
         active_deg = (getattr(gaussian_model, "active_sh_degree", None)
                       if shs is not None else None)
         active_key = None if active_deg is None else int(active_deg)

@@ -143,6 +143,30 @@ def test_dp_trainer_multi_dp_converges():
     assert hist[-1]["num_points"] > hist[0]["num_points"]
 
 
+@pytest.mark.slow
+def test_dp_trainer_gs3_pads_capacity():
+    """A non-power-of-two gs axis (gs=3 on a 6-device mesh): the default
+    power-of-two capacity does not divide 3, so DPTrainer must pad it on
+    init/restore/grow or shard_map fails to lower (regression: the pad
+    only happened when capacity was passed explicitly)."""
+    from jax.sharding import Mesh
+
+    pcd, cams = _scene(size=32, n=64)
+    pcd._f_dc = np.zeros_like(pcd._f_dc)
+    cfg = TrainConfig(
+        densify_from_iter=0, densify_until_iter=100,
+        densification_interval=2, densify_grad_threshold=1e-6,
+        opacity_reset_interval=1000, iterations=4,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:6]).reshape(2, 3), ("dp", "gs"))
+    dpt = train_dp.DPTrainer(pcd, cams, cfg, mesh=mesh,
+                             num_entries=1 << 13, chunk=512)
+    assert dpt.state.valid.shape[0] % 3 == 0
+    hist = dpt.train(iterations=4, log_every=1)
+    assert np.isfinite([m["loss"] for m in hist]).all()
+    assert dpt.state.valid.shape[0] % 3 == 0
+
+
 def test_dp_render_and_fuse():
     pcd, cams = _scene(size=32, n_cams=8)
     mesh = make_mesh(dp=8, gs=1)

@@ -49,6 +49,36 @@ def test_extract_mesh_sphere(sphere_scene, tmp_path):
     assert len(list((tmp_path / "masks").glob("*.png"))) == 12
 
 
+@pytest.mark.slow
+def test_extract_mesh_mixed_fov(sphere_scene, tmp_path):
+    """Mixed camera models in one capture (same W/H, different FoV): the
+    camera-DP path must group per-FoV (its jitted closure bakes cam0's
+    tanfov) and number view files globally (regression: per-group
+    numbering collided and overwrote files)."""
+    cams = camera_paths.get_path_from_orbit(
+        np.zeros(3), 1.6, elevation=15, num_cam=6, image_size=96, fov_deg=60
+    ) + camera_paths.get_path_from_orbit(
+        np.zeros(3), 1.6, elevation=40, num_cam=6, image_size=96, fov_deg=40
+    )
+    # both orbit paths name their cameras "0".."5"; clear the names so the
+    # pipeline's global-index fallback naming is what's under test
+    for c in cams:
+        c.image_name = None
+    renderer = renderers.make({"name": "vanilla_renderer"})
+    verts, faces = extract_mesh(
+        sphere_scene, renderer, cams,
+        work_dir=str(tmp_path),
+        voxel_size=0.02, sdf_trunc=0.08, min_weight=2.0,
+        stride=1, downsample=1, max_dim=128,
+    )
+    assert len(verts) > 300 and len(faces) > 300
+    radii = np.linalg.norm(verts, axis=1)
+    assert abs(np.median(radii) - 0.4) < 0.08
+    # every view produced distinct files (no cross-group collisions)
+    assert len(list((tmp_path / "images").glob("*.png"))) == 12
+    assert len(list((tmp_path / "images").glob("*.cam"))) == 12
+
+
 def test_camera_paths_tools():
     cams = camera_paths.get_path_from_orbit(np.zeros(3), 2.0, num_cam=12,
                                             image_size=64)

@@ -28,20 +28,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def cache_path(size, views, rich=False):
-    tag = "_rich" if rich else ""
+def cache_path(size, views, rich=False, kind=None):
+    kind = kind or ("rich" if rich else "large")
+    tag = {"large": "", "rich": "_rich", "bench": "_bench"}[kind]
     return f"/tmp/atscale_capture_{size}_{views}{tag}.npz"
 
 
-def load_capture(size, views, rich=False):
+def load_capture(size, views, rich=False, kind=None):
     """Return the cams (with .image set) for a cached capture, or None."""
-    from tools.train_at_scale import orbit_rings
+    from tools.train_at_scale import ORBITS, orbit_rings
 
-    path = cache_path(size, views, rich)
+    kind = kind or ("rich" if rich else "large")
+    path = cache_path(size, views, kind=kind)
     if not os.path.exists(path):
         return None
     data = np.load(path)
-    cams = orbit_rings(size, views)
+    cams = orbit_rings(size, views, **ORBITS[kind])
     for i, cam in enumerate(cams):
         cam.image = data[f"img{i}"]
     return cams
@@ -52,25 +54,27 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--views", type=int, default=64)
     ap.add_argument("--rich", action="store_true")
+    ap.add_argument("--bench", action="store_true")
     args = ap.parse_args()
+    kind = "bench" if args.bench else ("rich" if args.rich else "large")
 
-    from tools.train_at_scale import scene_mesh_large, orbit_rings, render_gt
+    from tools.train_at_scale import (
+        ORBITS, orbit_rings, render_gt, scene_mesh_bench, scene_mesh_large,
+        scene_mesh_rich,
+    )
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     t0 = time.perf_counter()
-    if args.rich:
-        from tools.train_at_scale import color_fn_rich, scene_mesh_rich
-
-        verts, faces = scene_mesh_rich()
-        col_fn = color_fn_rich
-    else:
+    if kind == "large":
         from tools.make_fixture import color_fn as col_fn
-
-        verts, faces = scene_mesh_large()
-    cams = orbit_rings(args.size, args.views)
+    else:
+        from tools.train_at_scale import color_fn_rich as col_fn
+    verts, faces = {"large": scene_mesh_large, "rich": scene_mesh_rich,
+                    "bench": scene_mesh_bench}[kind]()
+    cams = orbit_rings(args.size, args.views, **ORBITS[kind])
     images = render_gt(verts, faces, cams, col_fn=col_fn,
-                       per_pixel=args.rich)
-    path = cache_path(args.size, args.views, args.rich)
+                       per_pixel=kind != "large")
+    path = cache_path(args.size, args.views, kind=kind)
     np.savez(path, size=args.size, views=args.views,
              **{f"img{i}": im for i, im in enumerate(images)})
     print(f"capture: {len(cams)} views {args.size}px -> {path} "

@@ -119,7 +119,48 @@ def scene_mesh_rich():
             np.concatenate(faces).astype(np.int32))
 
 
-def orbit_rings(size, views):
+def scene_mesh_bench():
+    """Wide benchmark-scale scene: a 3x3 field of displaced spheres of
+    varied radii + a box ring + a finely tessellated 6x6 ground slab, all
+    with per-pixel multi-octave texture.
+
+    Geometry lesson from the first two 800p runs (docs/runs/r5_train_800p
+    history): on a CLOSE-UP orbit, ordinary percent_dense-scale splats
+    cover > 20 px, so the reference's screen-size prune
+    (max_screen_size=20, vanilla train loop semantics) caps the
+    population at an equilibrium (~55k: clones +10k/event vs big-prunes
+    -11k/event) no matter the grad threshold — the r5 run peaked at 110k
+    and settled at 55k. A WIDE scene viewed from farther keeps splats
+    well under the prune bound, so the >= 100k population the texture
+    demands is a stable equilibrium rather than a transient peak."""
+    rng_r = [0.55, 0.72, 0.48, 0.66, 0.8, 0.52, 0.6, 0.74, 0.58]
+    parts = []
+    k = 0
+    for gx in (-1.9, 0.0, 1.9):
+        for gz in (-1.9, 0.0, 1.9):
+            r0 = rng_r[k]
+            k += 1
+            sv, sf = icosphere(4, radius=r0)
+            r = (1.0 + 0.12 * np.sin(3.1 * sv[:, 0] + k)
+                 * np.cos(2.7 * sv[:, 1])
+                 + 0.04 * np.sin(11.0 * sv[:, 1]) * np.cos(9.0 * sv[:, 2]))
+            sv = sv * r[:, None]
+            parts.append((sv + np.array([gx, r0 - 1.05, gz], np.float32), sf))
+    for j in range(10):  # box ring between the spheres
+        ang = 2 * np.pi * j / 10 + 0.3
+        parts.append(box([2.7 * np.cos(ang), -0.85, 2.7 * np.sin(ang)],
+                         [0.2, 0.26, 0.2]))
+    parts.append(grid_plane([0.0, 0.0, 0.0], 3.0, -1.11, cells=160))
+    verts, faces, off = [], [], 0
+    for v, f in parts:
+        verts.append(v)
+        faces.append(f + off)
+        off += len(v)
+    return (np.concatenate(verts).astype(np.float32),
+            np.concatenate(faces).astype(np.int32))
+
+
+def orbit_rings(size, views, radius=3.2, fov_deg=55):
     from gaustudio_tpu.cameras import camera_paths
 
     # two constant-elevation rings, both above the ground plane (the
@@ -128,14 +169,23 @@ def orbit_rings(size, views):
     # those views were unfittable and capped heldout PSNR at ~24)
     per = views // 2
     cams = camera_paths.get_path_from_orbit(
-        np.zeros(3), 3.2, elevation=18, num_cam=per, image_size=size,
-        fov_deg=55,
+        np.zeros(3), radius, elevation=18, num_cam=per, image_size=size,
+        fov_deg=fov_deg,
     )
     cams += camera_paths.get_path_from_orbit(
-        np.zeros(3), 3.2, elevation=42, num_cam=views - per, image_size=size,
-        fov_deg=55,
+        np.zeros(3), radius, elevation=42, num_cam=views - per,
+        image_size=size, fov_deg=fov_deg,
     )
     return cams
+
+
+# camera geometry per scene kind: the bench scene is ~4x the footprint,
+# viewed from ~2.2x the distance with a slightly tighter fov
+ORBITS = {
+    "large": dict(radius=3.2, fov_deg=55),
+    "rich": dict(radius=3.2, fov_deg=55),
+    "bench": dict(radius=7.0, fov_deg=52),
+}
 
 
 def render_gt(verts, faces, cams, col_fn=color_fn, per_pixel=False):
@@ -217,6 +267,11 @@ def main():
                          "photographic threshold leaves densification unable "
                          "to refire after the post-reset big-point prune "
                          "(r5 first run: 23k -> 8.2k -> stall at 11.6k)")
+    ap.add_argument("--bench", action="store_true",
+                    help="wide benchmark scene (scene_mesh_bench): the "
+                         "far-orbit geometry keeps splats under the 20px "
+                         "screen-size prune bound so the >= 100k point "
+                         "population is a stable equilibrium")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "runs", "r3_train_at_scale"))
@@ -235,18 +290,21 @@ def main():
     print(f"platform: {jax.devices()[0].platform}", flush=True)
 
     t0 = time.perf_counter()
-    mesh_fn = scene_mesh_rich if args.rich else scene_mesh_large
-    col_fn = color_fn_rich if args.rich else color_fn
+    kind = "bench" if args.bench else ("rich" if args.rich else "large")
+    textured = kind in ("rich", "bench")
+    mesh_fn = {"large": scene_mesh_large, "rich": scene_mesh_rich,
+               "bench": scene_mesh_bench}[kind]
+    col_fn = color_fn_rich if textured else color_fn
     verts, faces = mesh_fn()
     cams = None
-    if args.rich:
+    if textured:
         from tools.make_atscale_capture import load_capture
 
-        cams = load_capture(args.size, args.views, rich=True)
+        cams = load_capture(args.size, args.views, kind=kind)
     if cams is None:
-        cams = orbit_rings(args.size, args.views)
+        cams = orbit_rings(args.size, args.views, **ORBITS[kind])
         images = render_gt(verts, faces, cams, col_fn=col_fn,
-                           per_pixel=args.rich)
+                           per_pixel=textured)
         for cam, img in zip(cams, images):
             cam.image = img
     print(f"capture: {len(cams)} views {args.size}px, mesh "
@@ -271,15 +329,19 @@ def main():
     )
     pcd.active_sh_degree = 0
 
+    # getNerfppNorm-style extent: 1.1x the orbit radius (scales the xyz
+    # lr, percent_dense split bound, and the 0.1*extent world prune)
+    extent = 1.1 * ORBITS[kind]["radius"]
+
     class _DS(list):
-        cameras_extent = 3.5
+        cameras_extent = extent
 
         def export(self, path):
             pass
 
     grad_thr = args.densify_grad_threshold
     if grad_thr is None:
-        grad_thr = 7e-5 if args.rich else 2e-4
+        grad_thr = 7e-5 if textured else 2e-4
     cfg = T.TrainConfig(
         iterations=args.iters,
         densify_from_iter=500,
@@ -288,14 +350,14 @@ def main():
         densify_grad_threshold=grad_thr,
         opacity_reset_interval=3000,
         sh_increase_interval=1000,
-        lr_xyz_init=0.00016 * 3.5,  # scaled by scene extent per Inria
-        lr_xyz_final=0.0000016 * 3.5,
+        lr_xyz_init=0.00016 * extent,  # scaled by scene extent per Inria
+        lr_xyz_final=0.0000016 * extent,
         lr_xyz_max_steps=args.iters,
     )
-    # rich runs start at a small bucket ON PURPOSE: the VERDICT r4 bar
-    # requires >= 2 capacity-bucket growths to be exercised mid-run
+    # rich/bench runs start at a small bucket ON PURPOSE: the VERDICT r4
+    # bar requires >= 2 capacity-bucket growths to be exercised mid-run
     trainer = T.Trainer(pcd, _DS(train_cams), cfg,
-                        capacity=(1 << 15) if args.rich else (1 << 17))
+                        capacity=(1 << 15) if textured else (1 << 17))
     cap_growths = []
 
     orig_grow = trainer.maybe_grow_capacity
@@ -361,7 +423,9 @@ def main():
     summary = {
         "scene": ("rich procedural mesh (displaced spheres + box ring + "
                   "fine slab, multi-octave texture)" if args.rich else
-                  "procedural textured mesh (icosphere+boxes+slab)"),
+                  "wide benchmark field (3x3 displaced spheres + box ring "
+                  "+ 6x6 fine slab, multi-octave texture)" if args.bench
+                  else "procedural textured mesh (icosphere+boxes+slab)"),
         "capacity_growths": cap_growths,
         "views_train": len(train_cams), "views_heldout": len(test_cams),
         "size": args.size, "iters": args.iters,
@@ -385,7 +449,7 @@ def main():
     # scene's smooth-shaded geometry is representable by ~1.5-4 x10^4
     # splats (the r4 run from a 12k init converged at 16.4k / PSNR 35.2),
     # so demanding 100k+ would only reward over-densification.
-    if args.rich:
+    if textured:
         # VERDICT r4 #3 bar: benchmark-scale densification (>= 100k points
         # through >= 2 capacity-bucket growths) with rising heldout PSNR
         assert final_pts >= 100_000, (

@@ -30,7 +30,8 @@ jax.config.update("jax_platforms", "cpu")
 
 def cache_path(size, views, rich=False, kind=None):
     kind = kind or ("rich" if rich else "large")
-    tag = {"large": "", "rich": "_rich", "bench": "_bench"}[kind]
+    # bench2: 67-freq finest octave + (26, 44) elevation rings
+    tag = {"large": "", "rich": "_rich", "bench": "_bench2"}[kind]
     return f"/tmp/atscale_capture_{size}_{views}{tag}.npz"
 
 
@@ -67,6 +68,8 @@ def main():
     t0 = time.perf_counter()
     if kind == "large":
         from tools.make_fixture import color_fn as col_fn
+    elif kind == "bench":
+        from tools.train_at_scale import color_fn_bench as col_fn
     else:
         from tools.train_at_scale import color_fn_rich as col_fn
     verts, faces = {"large": scene_mesh_large, "rich": scene_mesh_rich,
